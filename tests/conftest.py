@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device CPU mesh before JAX initializes.
+
+This is the standard JAX trick for exercising multi-chip sharding logic
+without hardware; the driver separately dry-runs the multi-chip path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# keep math comparable across machines
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+# compiles are ~1.3 s each on this host; cache them across pytest runs
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tcdiff_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
