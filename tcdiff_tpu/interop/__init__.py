@@ -1,0 +1,3 @@
+from tcdiff_tpu.interop.torch_convert import dance_decoder_params_from_torch
+
+__all__ = ["dance_decoder_params_from_torch"]

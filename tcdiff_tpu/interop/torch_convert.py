@@ -1,0 +1,140 @@
+"""One-way converter: reference PyTorch checkpoints -> flax param pytrees.
+
+The reference saves `{"ema_state_dict", "model_state_dict",
+"optimizer_state_dict", "normalizer"}` via torch.save
+(`/root/reference/TCDiff.py:266-274`). This module maps the
+`DanceDecoder` state dict (`/root/reference/model/model.py:416-540`) onto the
+parameter tree of `tcdiff_tpu.models.DanceDecoder`, so reference-trained
+weights run on TPU and parity tests can compare the two nets on identical
+parameters.
+
+Only numpy crosses the boundary — no torch import is required here; pass any
+mapping of name -> array-like (e.g. `{k: v.numpy() for k, v in sd.items()}`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    """torch Linear weight (out, in) -> flax kernel (in, out)."""
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _dense(sd: Mapping, prefix: str, bias: bool = True) -> Dict:
+    out = {"kernel": _t(sd[prefix + ".weight"])}
+    if bias and prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def _ln(sd: Mapping, prefix: str) -> Dict:
+    return {
+        "scale": np.asarray(sd[prefix + ".weight"]),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _torch_mha(sd: Mapping, prefix: str, d: int) -> Dict:
+    """torch.nn.MultiheadAttention -> TorchMHA (in_proj packs q|k|v rows)."""
+    w = np.asarray(sd[prefix + ".in_proj_weight"])  # (3d, d)
+    b = np.asarray(sd[prefix + ".in_proj_bias"])  # (3d,)
+    return {
+        "q_proj": {"kernel": _t(w[:d]), "bias": b[:d]},
+        "k_proj": {"kernel": _t(w[d : 2 * d]), "bias": b[d : 2 * d]},
+        "v_proj": {"kernel": _t(w[2 * d :]), "bias": b[2 * d :]},
+        "out_proj": _dense(sd, prefix + ".out_proj"),
+    }
+
+
+def _sbi_msa(sd: Mapping, prefix: str) -> Dict:
+    return {
+        "w_qs": _dense(sd, prefix + ".w_qs", bias=False),
+        "w_ks": _dense(sd, prefix + ".w_ks", bias=False),
+        "w_vs": _dense(sd, prefix + ".w_vs", bias=False),
+        "fc": _dense(sd, prefix + ".fc", bias=False),
+        "layer_norm": _ln(sd, prefix + ".layer_norm"),
+    }
+
+
+def _concat_squash(sd: Mapping, prefix: str) -> Dict:
+    return {
+        "layer": _dense(sd, prefix + "._layer"),
+        "hyper_bias": _dense(sd, prefix + "._hyper_bias", bias=False),
+        "hyper_gate": _dense(sd, prefix + "._hyper_gate"),
+    }
+
+
+def _encoder_layer(sd: Mapping, prefix: str, d: int) -> Dict:
+    return {
+        "self_attn": _torch_mha(sd, prefix + ".self_attn", d),
+        "linear1": _dense(sd, prefix + ".linear1"),
+        "linear2": _dense(sd, prefix + ".linear2"),
+        "norm1": _ln(sd, prefix + ".norm1"),
+        "norm2": _ln(sd, prefix + ".norm2"),
+    }
+
+
+def _decoder_layer(sd: Mapping, prefix: str) -> Dict:
+    out = {
+        "self_attn": _sbi_msa(sd, prefix + ".self_attn"),
+        "multihead_attn": _sbi_msa(sd, prefix + ".multihead_attn"),
+        "linear1": _dense(sd, prefix + ".linear1"),
+        "linear2": _dense(sd, prefix + ".linear2"),
+        "linear3": _dense(sd, prefix + ".linear3"),
+        "norm1": _ln(sd, prefix + ".norm1"),
+        "norm2": _ln(sd, prefix + ".norm2"),
+        "norm3": _ln(sd, prefix + ".norm3"),
+        "norm4": _ln(sd, prefix + ".norm4"),
+    }
+    for i in (1, 2, 3):
+        # DenseFiLM's Sequential is (Mish, Linear) so the Linear is .block.1
+        out[f"film{i}"] = {"block": _dense(sd, prefix + f".film{i}.block.1")}
+    for i in range(3):
+        out[f"traj_mod{i}"] = _concat_squash(sd, prefix + f".traj_Modulation.{i}")
+    return out
+
+
+def dance_decoder_params_from_torch(
+    state_dict: Mapping, num_layers: int = 8, latent_dim: int = 512
+) -> Dict:
+    """Map a reference DanceDecoder state dict to our flax params tree.
+
+    Accepts keys with or without the DDP "module." prefix the reference
+    re-adds per world size (`TCDiff.py:113-120`).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        sd[k] = np.asarray(v)
+
+    p: Dict = {
+        "input_projection": _dense(sd, "input_projection"),
+        "final_layer": _dense(sd, "final_layer"),
+        "traj_embedding_0": _dense(sd, "traj_embedding.0"),
+        "traj_embedding_1": _dense(sd, "traj_embedding.2"),
+        "relative_projection_0": _dense(sd, "relative_projection_layer.0"),
+        "relative_projection_1": _dense(sd, "relative_projection_layer.2"),
+        "relative_projection_2": _dense(sd, "relative_projection_layer.4"),
+        "cond_projection_0": _dense(sd, "cond_projection.0"),
+        "cond_projection_1": _dense(sd, "cond_projection.2"),
+        "non_attn_norm": _ln(sd, "non_attn_cond_projection.0"),
+        "non_attn_dense0": _dense(sd, "non_attn_cond_projection.1"),
+        "non_attn_dense1": _dense(sd, "non_attn_cond_projection.3"),
+        "time_mlp": _dense(sd, "time_mlp.1"),
+        "to_time_cond": _dense(sd, "to_time_cond.0"),
+        "to_time_tokens": _dense(sd, "to_time_tokens.0"),
+        "norm_cond": _ln(sd, "norm_cond"),
+        "null_cond_embed": np.asarray(sd["null_cond_embed"]),
+        "null_cond_hidden": np.asarray(sd["null_cond_hidden"]),
+        "embeddings_table": np.asarray(sd["embeddings_table.weight"]),
+    }
+    for i in range(2):
+        p[f"cond_encoder_{i}"] = _encoder_layer(sd, f"cond_encoder.{i}", latent_dim)
+    for i in range(num_layers):
+        p[f"decoder_{i}"] = _decoder_layer(sd, f"seqTransDecoder.stack.{i}")
+    return p

@@ -1,0 +1,395 @@
+"""DanceDecoder — the multi-dancer diffusion denoiser, TPU-first.
+
+Re-implements the capability of the reference network
+(`/root/reference/model/model.py:416-624`) as a flax.linen module with
+explicit RNG threading, static shapes, and a batched classifier-free
+guidance path (one doubled-batch forward instead of two sequential calls —
+`model/model.py:542-546` runs the network twice per DDIM step).
+
+Faithfully kept reference semantics (each with its citation):
+  * RoPE on the full model vector pre-projection (`model/model.py:231,375`).
+  * SBI_MSA: bias-free q/k/v/out projections, post-attention LayerNorm
+    (eps 1e-6), optional trajectory-relative position bias gathered from a
+    10-entry shared embedding table (`model/model.py:54-107`).
+  * FiLM decoder layer: pre-norm self-attn / cross-attn / FF, each followed
+    by featurewise affine of a DenseFiLM(t) (`model/model.py:308-343`).
+  * Fusion projection mixing the dancers of each frame
+    (`model/model.py:522-528,561`).
+  * Trajectory embedding of per-token XY deltas (`model/model.py:536-540,557`)
+    — deltas are taken over the flat token axis, so they cross dancer
+    boundaries exactly like the reference (`model/model.py:557`).
+  * The ConcatSquash trajectory-modulation MLP is computed but its output is
+    DISCARDED in the reference's norm_first path — the layer returns
+    `linear3(norm4(x))` and `out` is dead (`model/model.py:344-371`; this is
+    why the reference needs DDP `find_unused_parameters=True`,
+    `TCDiff.py:52`). We default to the reference dataflow; set
+    `use_traj_modulation=True` to enable the paper-described path. The
+    parameters exist either way so checkpoints are interchangeable.
+
+Everything is MXU-shaped: d_model 512, heads 8x64, tokens seq_len*dancers.
+Params live in float32; activations can run in bfloat16 via `dtype`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tcdiff_tpu.config import DanceDecoderConfig
+from tcdiff_tpu.models.rotary import apply_rotary, rotary_freqs
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def sinusoidal_pos_emb(x: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Diffusion-timestep embedding (`model/utils.py:36-48`): note the
+    reference's half_dim-1 denominator and [sin | cos] concat order."""
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half) * (-np.log(10000.0) / (half - 1)))
+    args = x.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class DenseFiLM(nn.Module):
+    """FiLM generator (`model/model.py:154-168`): Mish -> Dense(2d) -> split."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        h = nn.Dense(self.dim * 2, dtype=self.dtype, name="block")(mish(t))
+        h = h[:, None, :]  # (b, 1, 2d)
+        scale, shift = jnp.split(h, 2, axis=-1)
+        return scale, shift
+
+
+def featurewise_affine(x, scale_shift):
+    scale, shift = scale_shift
+    return (scale + 1.0) * x + shift
+
+
+class ConcatSquashLinear(nn.Module):
+    """Context-gated linear (`model/model.py:15-26`)."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ctx, x):
+        gate = jax.nn.sigmoid(nn.Dense(self.dim_out, dtype=self.dtype, name="hyper_gate")(ctx))
+        bias = nn.Dense(self.dim_out, use_bias=False, dtype=self.dtype, name="hyper_bias")(ctx)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="layer")(x) * gate + bias
+
+
+class SBIMSA(nn.Module):
+    """Socially/trajectory-aware multi-head attention (`model/model.py:54-107`).
+
+    q/k/v/out projections are bias-free; logits get an optional TRPE bias
+    (an embedding-table lookup realized as gather over q @ table^T); output is
+    dropout(fc(attn @ v)) followed by LayerNorm(eps=1e-6) — the norm lives
+    INSIDE the attention block in the reference, not outside.
+    """
+
+    n_head: int
+    d_model: int
+    dk: int = 64
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, shared_emb=None, trj_dist=None, *, deterministic=True):
+        b, lq = q_in.shape[0], q_in.shape[1]
+        lk = k_in.shape[1]
+        h, dk = self.n_head, self.dk
+
+        q = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_qs")(q_in)
+        k = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_ks")(k_in)
+        v = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_vs")(v_in)
+        q = q.reshape(b, lq, h, dk).transpose(0, 2, 1, 3)
+        k = k.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
+        v = v.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
+
+        scale = 1.0 / jnp.asarray(np.sqrt(dk), self.dtype)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+
+        if trj_dist is not None:
+            # shared_emb: (10, h*dk) table; bias[b,h,i,j] = q[b,h,i] . emb[trj_dist[b,i,j], h]
+            # (the reference's gather over an indexed matrix, `model/model.py:82-94`;
+            # note the bias uses the UNSCALED q there)
+            table = shared_emb.reshape(10, h, dk).transpose(1, 0, 2)  # (h, 10, dk)
+            indexed = jnp.einsum("bhqd,hnd->bhqn", q, table.astype(q.dtype))  # (b,h,lq,10)
+            idx = jnp.broadcast_to(trj_dist[:, None, :, :], (b, h, lq, lk))
+            logits = logits + jnp.take_along_axis(indexed, idx, axis=3)
+
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * dk)
+        out = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="fc")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layer_norm")(out)
+
+
+class TorchMHA(nn.Module):
+    """torch.nn.MultiheadAttention equivalent (biased in/out projections,
+    dropout on attention weights) used by the music cond encoder
+    (`model/model.py:192-194,228-240`)."""
+
+    n_head: int
+    d_model: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, *, deterministic=True):
+        b, lq = q_in.shape[0], q_in.shape[1]
+        lk = k_in.shape[1]
+        h = self.n_head
+        dh = self.d_model // h
+        q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(q_in)
+        k = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(k_in)
+        v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(v_in)
+        q = q.reshape(b, lq, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
+        scale = 1.0 / jnp.asarray(np.sqrt(dh), self.dtype)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        attn = jax.nn.softmax(logits, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, self.d_model)
+        return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm encoder layer with rotary (`model/model.py:176-245`)."""
+
+    d_model: int
+    n_head: int
+    ff_size: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic=True):
+        angles = jnp.asarray(rotary_freqs(x.shape[-2], self.d_model))
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        qk = apply_rotary(h, angles)
+        sa = TorchMHA(self.n_head, self.d_model, self.dropout, self.dtype, name="self_attn")(
+            qk, qk, h, deterministic=deterministic
+        )
+        x = x + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x
+
+
+class FiLMTransformerDecoderLayer(nn.Module):
+    """FiLM-conditioned decoder layer (`model/model.py:248-401`)."""
+
+    d_model: int
+    n_head: int
+    ff_size: int
+    dropout: float = 0.1
+    use_traj_modulation: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, t, traj_emb, shared_emb, trj_dist=None, *, deterministic=True):
+        d = self.d_model
+        angles_x = jnp.asarray(rotary_freqs(x.shape[-2], d))
+        angles_m = jnp.asarray(rotary_freqs(memory.shape[-2], d))
+
+        # self-attention + FiLM(t)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        qk = apply_rotary(h, angles_x)
+        sa = SBIMSA(self.n_head, d, 64, self.dropout, self.dtype, name="self_attn")(
+            qk, qk, h, shared_emb, trj_dist, deterministic=deterministic
+        )
+        sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        x = x + featurewise_affine(sa, DenseFiLM(d, self.dtype, name="film1")(t))
+
+        # cross-attention to music/time tokens + FiLM(t)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        q = apply_rotary(h, angles_x)
+        k = apply_rotary(memory, angles_m)
+        # trj_dist applies only to dancer-token self-attention: the reference
+        # forwards it to cross-attention too (`model/model.py:331-333`) but its
+        # gather shapes are only consistent for query-length keys, and no
+        # reference entry point ever passes a non-None trj_dist.
+        ca = SBIMSA(self.n_head, d, 64, self.dropout, self.dtype, name="multihead_attn")(
+            q, k, memory, shared_emb, None, deterministic=deterministic
+        )
+        ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+        x = x + featurewise_affine(ca, DenseFiLM(d, self.dtype, name="film2")(t))
+
+        # feed-forward + FiLM(t)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(d, dtype=self.dtype, name="linear2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = x + featurewise_affine(h, DenseFiLM(d, self.dtype, name="film3")(t))
+
+        # the reference ends every layer with linear3(norm4(x)) (`model/model.py:344`)
+        x = nn.Dense(d, dtype=self.dtype, name="linear3")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm4")(x)
+        )
+
+        # ConcatSquash trajectory modulation. In the reference this result is
+        # computed then dropped (`model/model.py:351-355` assigns `out`,
+        # `:371` returns `x`); with the flag off we keep parameters but skip
+        # the dead compute (XLA would DCE it anyway).
+        ctx = jnp.concatenate([t[:, None, :], traj_emb], axis=-2)
+        out = ConcatSquashLinear(128, self.dtype, name="traj_mod0")(ctx, x)
+        out = jax.nn.leaky_relu(out)
+        out = ConcatSquashLinear(128, self.dtype, name="traj_mod1")(ctx, out)
+        out = jax.nn.leaky_relu(out)
+        out = ConcatSquashLinear(d, self.dtype, name="traj_mod2")(ctx, out)
+        if self.use_traj_modulation:
+            x = out
+        return x
+
+
+class DanceDecoder(nn.Module):
+    """Full denoiser (`model/model.py:416-624`).
+
+    __call__(x, cond, times, keep_mask) with
+      x: (b, seq_len*dn, 151) noised motion, time-major token order
+      cond: (b, 301, 438) music features @ 60 FPS
+      times: (b,) diffusion timesteps
+      keep_mask: (b,) bool, True = keep the real music condition
+                 (None = keep everywhere). Replaces the reference's
+                 cond_drop_prob RNG (`model/utils.py:52-58`).
+    """
+
+    cfg: DanceDecoderConfig
+    use_traj_modulation: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond, times, keep_mask=None, trj_dist=None, *, deterministic=True):
+        cfg = self.cfg
+        d = cfg.latent_dim
+        b, tokens, nfeats = x.shape
+        dn = tokens // cfg.seq_len
+        x = x.astype(self.dtype)
+        cond = cond.astype(self.dtype)
+        if keep_mask is None:
+            keep_mask = jnp.ones((b,), dtype=bool)
+
+        # per-token XY deltas -> traj embedding (`model/model.py:557`)
+        xy = x[:, :, [4, 5]]
+        deltas = xy[:, 1:] - xy[:, :-1]  # (b, tokens-1, 2)
+        traj_emb = nn.Dense(64, dtype=self.dtype, name="traj_embedding_0")(deltas)
+        traj_emb = jax.nn.relu(traj_emb)
+        traj_emb = nn.Dense(d, dtype=self.dtype, name="traj_embedding_1")(traj_emb)
+
+        # input projection + fusion projection over the dancers of each frame
+        h = nn.Dense(d, dtype=self.dtype, name="input_projection")(x)
+        f = h.reshape(b, cfg.seq_len, d * dn)
+        f = nn.Dense(d * 2, dtype=self.dtype, name="relative_projection_0")(f)
+        f = jax.nn.relu(f)
+        f = nn.Dense(d * 2, dtype=self.dtype, name="relative_projection_1")(f)
+        f = jax.nn.relu(f)
+        f = nn.Dense(d * dn, dtype=self.dtype, name="relative_projection_2")(f)
+        h = f.reshape(b, tokens, d)
+
+        # music condition: pack 2 frames (60 -> 30 FPS), project, encode
+        # (`model/model.py:571-581`)
+        c_len = cond.shape[1]
+        if c_len % 2 == 1:
+            cond = cond[:, :-1]
+        cond2 = cond.reshape(b, cond.shape[1] // 2, cfg.cond_feature_dim * 2)
+        ct = nn.Dense(cfg.cond_feature_dim, dtype=self.dtype, name="cond_projection_0")(cond2)
+        ct = jax.nn.relu(ct)
+        ct = nn.Dense(d, dtype=self.dtype, name="cond_projection_1")(ct)
+        for i in range(2):
+            ct = TransformerEncoderLayer(
+                d, cfg.num_heads, cfg.ff_size, cfg.dropout, self.dtype, name=f"cond_encoder_{i}"
+            )(ct, deterministic=deterministic)
+
+        # CFG null embeddings (`model/model.py:468-469,585-611`)
+        null_cond_embed = self.param(
+            "null_cond_embed", nn.initializers.normal(1.0), (1, cfg.seq_len, d), jnp.float32
+        )
+        null_cond_hidden = self.param(
+            "null_cond_hidden", nn.initializers.normal(1.0), (1, d), jnp.float32
+        )
+        km3 = keep_mask[:, None, None]
+        ct = jnp.where(km3, ct, null_cond_embed.astype(self.dtype))
+
+        pooled = jnp.mean(ct, axis=-2)
+        ch = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="non_attn_norm")(pooled)
+        ch = nn.Dense(d, dtype=self.dtype, name="non_attn_dense0")(ch)
+        ch = jax.nn.silu(ch)
+        cond_hidden = nn.Dense(d, dtype=self.dtype, name="non_attn_dense1")(ch)
+
+        # timestep embedding (`model/model.py:454-465,601-612`)
+        t_hidden = sinusoidal_pos_emb(times, d).astype(self.dtype)
+        t_hidden = nn.Dense(d * 4, dtype=self.dtype, name="time_mlp")(t_hidden)
+        t_hidden = mish(t_hidden)
+        t = nn.Dense(d, dtype=self.dtype, name="to_time_cond")(t_hidden)
+        t_tokens = nn.Dense(d * 2, dtype=self.dtype, name="to_time_tokens")(t_hidden)
+        t_tokens = t_tokens.reshape(b, 2, d)
+
+        cond_hidden = jnp.where(keep_mask[:, None], cond_hidden, null_cond_hidden.astype(self.dtype))
+        t = t + cond_hidden
+
+        memory = jnp.concatenate([ct, t_tokens], axis=-2)
+        memory = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_cond")(memory)
+
+        # shared TRPE embedding table (`model/model.py:532-533`)
+        shared_emb = self.param(
+            "embeddings_table",
+            nn.initializers.normal(1.0),
+            (cfg.max_dancers, cfg.head_dim * cfg.num_heads),
+            jnp.float32,
+        )
+
+        for i in range(cfg.num_layers):
+            h = FiLMTransformerDecoderLayer(
+                d,
+                cfg.num_heads,
+                cfg.ff_size,
+                cfg.dropout,
+                self.use_traj_modulation,
+                self.dtype,
+                name=f"decoder_{i}",
+            )(h, memory, t, traj_emb, shared_emb, trj_dist, deterministic=deterministic)
+
+        out = nn.Dense(cfg.nfeats, dtype=self.dtype, name="final_layer")(h)
+        return out.astype(jnp.float32)
+
+
+def guided_forward(model: DanceDecoder, params, x, cond, times, guidance_weight, trj_dist=None):
+    """Classifier-free guidance as ONE doubled-batch forward.
+
+    The reference calls the network twice per step (`model/model.py:542-546`);
+    batching the conditional and unconditional passes halves kernel launches
+    and doubles MXU utilization at identical math.
+    """
+    b = x.shape[0]
+    keep = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
+    xx = jnp.concatenate([x, x], axis=0)
+    cc = jnp.concatenate([cond, cond], axis=0)
+    tt = jnp.concatenate([times, times], axis=0)
+    td = None if trj_dist is None else jnp.concatenate([trj_dist, trj_dist], axis=0)
+    out = model.apply({"params": params}, xx, cc, tt, keep, td, deterministic=True)
+    unc, c = out[:b], out[b:]
+    return unc + (c - unc) * guidance_weight
