@@ -19,13 +19,12 @@ from tcdiff_tpu.data.normalizer import Normalizer
 
 def _smooth_noise(rng, shape, smoothing=15):
     """Low-pass filtered gaussian noise along axis -2 (time)."""
+    from scipy.ndimage import uniform_filter1d
+
     x = rng.normal(size=shape)
-    kernel = np.ones(smoothing) / smoothing
-    # convolve along the time axis
-    x = np.apply_along_axis(
-        lambda v: np.convolve(v, kernel, mode="same"), -2 if x.ndim > 1 else 0, x
-    )
-    return x
+    # box filter along the time axis; unlike np.convolve(mode="same") this
+    # preserves length even when the window exceeds the sequence
+    return uniform_filter1d(x, size=smoothing, axis=-2 if x.ndim > 1 else 0, mode="nearest")
 
 
 def synthetic_motion(

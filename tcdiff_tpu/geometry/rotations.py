@@ -18,8 +18,22 @@ import jax.numpy as jnp
 
 
 def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
-    """sqrt(max(0, x)) with a subgradient of zero where x <= 0."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt(max(0, x)) with a subgradient of zero where x <= 0.
+
+    The double-where keeps the backward pass finite: a plain
+    sqrt(maximum(x, 0)) yields 0 * inf = NaN gradients wherever x < 0, which
+    happens by float error for the non-dominant candidates in
+    matrix_to_quaternion and silently NaNs the whole training step.
+    """
+    safe = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, jnp.sqrt(safe), 0.0)
+
+
+def _safe_norm(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    """L2 norm over the last axis with zero (not NaN) gradient at x == 0."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=keepdims)
+    safe = jnp.where(sq > 0, sq, 1.0)
+    return jnp.where(sq > 0, jnp.sqrt(safe), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -32,7 +46,7 @@ def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
     angle = ||axis_angle||; q = [cos(a/2), sin(a/2) * axis]. The sin(a/2)/a
     factor is Taylor-expanded (0.5 - a^2/48) below 1e-6 rad for stability.
     """
-    angles = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    angles = _safe_norm(axis_angle)
     half = angles * 0.5
     eps = 1e-6
     small = jnp.abs(angles) < eps
@@ -46,7 +60,7 @@ def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 def quaternion_to_axis_angle(quaternion: jnp.ndarray) -> jnp.ndarray:
     """(..., 4) wxyz quaternion -> (..., 3) axis-angle."""
-    norms = jnp.linalg.norm(quaternion[..., 1:], axis=-1, keepdims=True)
+    norms = _safe_norm(quaternion[..., 1:])
     half_angles = jnp.arctan2(norms, quaternion[..., :1])
     angles = 2.0 * half_angles
     eps = 1e-6
@@ -173,8 +187,10 @@ def matrix_to_quaternion(matrix: jnp.ndarray) -> jnp.ndarray:
     quat_by_z = jnp.stack([m10 - m01, m20 + m02, m21 + m12, q_abs[..., 3] ** 2], axis=-1)
     quat_candidates = jnp.stack([quat_by_w, quat_by_x, quat_by_y, quat_by_z], axis=-2)
 
-    # divide each candidate by 2 * q_abs of its own branch (guarded)
-    denom = 2.0 * jnp.maximum(q_abs, 1e-8)[..., None]
+    # divide each candidate by 2 * q_abs of its own branch; the 0.1 floor is
+    # pytorch3d's (only non-selected candidates are ever near it, and it
+    # keeps their — discarded — gradients bounded)
+    denom = 2.0 * jnp.maximum(q_abs, 0.1)[..., None]
     quat_candidates = quat_candidates / denom
 
     best = jnp.argmax(q_abs, axis=-1)
@@ -199,10 +215,10 @@ def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
     """(..., 6) -> (..., 3, 3) via Gram-Schmidt on the two encoded rows."""
     a1 = d6[..., :3]
     a2 = d6[..., 3:]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    b1 = a1 / jnp.maximum(_safe_norm(a1), 1e-12)
     a2_proj = jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
     b2 = a2 - a2_proj
-    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-12)
+    b2 = b2 / jnp.maximum(_safe_norm(b2), 1e-12)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-2)
 

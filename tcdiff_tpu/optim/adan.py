@@ -1,0 +1,84 @@
+"""Adan (Adaptive Nesterov Momentum) as an optax GradientTransformation.
+
+Semantics match the reference implementation
+(`/root/reference/model/adan.py:33-123`) exactly, including its quirks:
+
+  * on the FIRST step the moment buffers stay zero (the `step > 0` guard,
+    `adan.py:71`), so the only effect is the multiplicative weight-decay
+    shrink `params /= (1 + wd * lr)`;
+  * bias corrections use the post-increment step count (`adan.py:88-92`);
+  * decoupled weight decay is applied as a division AFTER the gradient step
+    (`adan.py:99-105`).
+
+The restart condition (`adan.py:111-116`) is not reproduced — the reference
+never passes one (`TCDiff.py:110` constructs Adan without it).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class AdanState(NamedTuple):
+    count: chex.Array  # int32 scalar
+    m: optax.Updates
+    v: optax.Updates
+    n: optax.Updates
+    prev_grad: optax.Updates
+
+
+def adan(
+    learning_rate: float,
+    betas: Tuple[float, float, float] = (0.02, 0.08, 0.01),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    b1, b2, b3 = betas
+
+    def init_fn(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return AdanState(jnp.zeros([], jnp.int32), zeros(), zeros(), zeros(), zeros())
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("adan requires params (decay is multiplicative on weights)")
+        first = state.count == 0  # buffers stay zero on step one (`adan.py:71-84`)
+        m = jax.tree.map(
+            lambda g, m: jnp.where(first, m, m * (1 - b1) + g * b1), grads, state.m
+        )
+        v = jax.tree.map(
+            lambda g, v, pg: jnp.where(first, v, v * (1 - b2) + (g - pg) * b2),
+            grads,
+            state.v,
+            state.prev_grad,
+        )
+        n = jax.tree.map(
+            lambda g, n, pg: jnp.where(
+                first, n, n * (1 - b3) + (g + (1 - b2) * (g - pg)) ** 2 * b3
+            ),
+            grads,
+            state.n,
+            state.prev_grad,
+        )
+
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        correct_m = 1.0 / (1.0 - (1.0 - b1) ** cf)
+        correct_v = 1.0 / (1.0 - (1.0 - b2) ** cf)
+        correct_n = 1.0 / (1.0 - (1.0 - b3) ** cf)
+        denom = 1.0 + weight_decay * learning_rate
+
+        def delta(p, m, v, n):
+            step_size = learning_rate / (jnp.sqrt(n * correct_n) + eps)
+            new_p = (p - step_size * (m * correct_m + (1 - b2) * v * correct_v)) / denom
+            return new_p - p
+
+        updates = jax.tree.map(delta, params, m, v, n)
+        return updates, AdanState(count, m, v, n, grads)
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -191,3 +191,40 @@ def test_matrix_to_axis_angle_roundtrip():
     np.testing.assert_allclose(
         np.asarray(axis_angle_to_matrix(back)), np.asarray(m), atol=1e-4
     )
+
+
+def test_gradients_finite_at_degenerate_inputs():
+    """Backward-pass safety: sqrt/norm guards must give finite (zero)
+    subgradients at zero rotations and fp-noisy rotation matrices — a NaN
+    here silently kills a whole training step (regression for the
+    sqrt(max(x,0)) 0*inf gradient)."""
+    import jax
+
+    from tcdiff_tpu.geometry.rotations import (
+        axis_angle_to_quaternion,
+        matrix_to_quaternion,
+        quaternion_to_axis_angle,
+        rotation_6d_to_matrix,
+    )
+
+    # zero axis-angle
+    g = jax.grad(lambda a: jnp.sum(axis_angle_to_quaternion(a) ** 2))(jnp.zeros(3))
+    assert bool(jnp.isfinite(g).all())
+
+    # identity quaternion (zero vector part)
+    g = jax.grad(lambda q: jnp.sum(quaternion_to_axis_angle(q) ** 2))(
+        jnp.array([1.0, 0.0, 0.0, 0.0])
+    )
+    assert bool(jnp.isfinite(g).all())
+
+    # rotation matrices whose non-dominant quaternion candidates are exactly
+    # or slightly-negative (identity has three zero candidates; the perturbed
+    # one dips below zero by float error)
+    eye = jnp.eye(3)
+    for m in (eye, eye + 1e-8, -eye + 2e-8):
+        g = jax.grad(lambda mm: jnp.sum(matrix_to_quaternion(mm) ** 2))(m)
+        assert bool(jnp.isfinite(g).all()), m
+
+    # degenerate 6D input (zero rows)
+    g = jax.grad(lambda d: jnp.sum(rotation_6d_to_matrix(d) ** 2))(jnp.zeros(6))
+    assert bool(jnp.isfinite(g).all())
