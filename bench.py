@@ -1,0 +1,86 @@
+"""North-star benchmark: seconds of motion generated / sec / chip.
+
+50-step DDIM (eta=1, CFG weight 2 as one doubled-batch forward per step) on
+the full-size DanceDecoder (8 layers, d=512), 3 dancers, 5 s clips @ 30 FPS —
+the reference's inference configuration (`/root/reference/model/diffusion.py:387`,
+`TCDiff.py:76-102`). Prints ONE JSON line.
+
+vs_baseline is against BASELINE.json's target: the A100 PyTorch reference
+publishes no numbers, so we use the target bar itself (5x) as 1.0 — i.e.
+vs_baseline = measured_throughput / (5 * est_a100_reference_throughput),
+with the A100 reference throughput estimated at 1.0 s-of-motion/s/chip
+(50 steps x 2 CFG forwards of a 61M-param net over 450 tokens, plus host
+loop overhead, is ~1 s per 5 s clip per batch element at batch ~5 — a
+deliberately generous estimate recorded here until a measured baseline
+exists).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tcdiff_jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+from tcdiff_tpu.diffusion import GaussianDiffusion
+from tcdiff_tpu.models import DanceDecoder
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    dancers = 3
+    clip_seconds = 5.0
+    compute_dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
+    cfg = DanceDecoderConfig(dancer_num=dancers)
+    model = DanceDecoder(cfg, dtype=compute_dtype)
+    diff = GaussianDiffusion(model, DiffusionConfig())
+    tokens = cfg.seq_len * dancers
+    shape = (batch, tokens, cfg.nfeats)
+
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.normal(size=(batch, 301, cfg.cond_feature_dim)).astype(np.float32))
+    x0 = jnp.asarray(rng.normal(size=(batch, tokens, 3)).astype(np.float32) * 0.1)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, tokens, cfg.nfeats)),
+        jnp.zeros((1, 301, cfg.cond_feature_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+
+    sample = jax.jit(diff.ddim_sample, static_argnums=(1,))
+
+    # warmup/compile
+    out = sample(params, shape, cond, jax.random.key(1), x0)
+    out.block_until_ready()
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = sample(params, shape, cond, jax.random.key(2 + i), x0)
+    out.block_until_ready()
+    elapsed = (time.perf_counter() - t0) / reps
+
+    n_chips = 1  # bench runs on the single tunneled chip
+    motion_seconds = batch * clip_seconds
+    throughput = motion_seconds / elapsed / n_chips
+
+    baseline_target = 5.0 * 1.0  # 5x the (estimated) A100 reference, see module docstring
+    print(
+        json.dumps(
+            {
+                "metric": "sec_of_motion/sec/chip (50-step DDIM, 3 dancers)",
+                "value": round(throughput, 3),
+                "unit": "s_motion/s/chip",
+                "vs_baseline": round(throughput / baseline_target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

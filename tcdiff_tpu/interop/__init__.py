@@ -1,3 +1,6 @@
-from tcdiff_tpu.interop.torch_convert import dance_decoder_params_from_torch
+from tcdiff_tpu.interop.torch_convert import (
+    dance_decoder_params_from_torch,
+    traj_decoder_params_from_torch,
+)
 
-__all__ = ["dance_decoder_params_from_torch"]
+__all__ = ["dance_decoder_params_from_torch", "traj_decoder_params_from_torch"]

@@ -138,3 +138,43 @@ def dance_decoder_params_from_torch(
     for i in range(num_layers):
         p[f"decoder_{i}"] = _decoder_layer(sd, f"seqTransDecoder.stack.{i}")
     return p
+
+
+def traj_decoder_params_from_torch(state_dict: Mapping, trans_layer: int = 6) -> Dict:
+    """Map a reference TrajDecoder `{'net': state_dict}` checkpoint
+    (`TrajDecoder/train_traj.py:281-282`) onto our flax TrajDecoder."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    lstm = {}
+    for layer in range(3):
+        for name in (f"weight_ih_l{layer}", f"weight_hh_l{layer}",
+                     f"bias_ih_l{layer}", f"bias_hh_l{layer}"):
+            lstm[name] = np.asarray(sd[f"lstm.{name}"])
+
+    p: Dict = {
+        "lstm": lstm,
+        "music_projection_0": _dense(sd, "music_projection.0"),
+        "music_projection_1": _dense(sd, "music_projection.2"),
+        "music_projection_2": _dense(sd, "music_projection.4"),
+        "cond_emb": _dense(sd, "trans_extractor.cond_emb"),
+        # dead parameter (`traj_model.py:80`), carried for round-tripping
+        "traj_emb_kernel": _t(sd["trans_extractor.traj_emb.weight"]),
+        "traj_emb_bias": np.asarray(sd["trans_extractor.traj_emb.bias"]),
+        "decoder_0": _dense(sd, "Decoder.0"),
+        "decoder_1": _dense(sd, "Decoder.2"),
+        "decoder_2": _dense(sd, "Decoder.4"),
+        "decoder_3": _dense(sd, "Decoder.6"),
+    }
+    for i in range(trans_layer):
+        pre = f"trans_extractor.blocks.{i}"
+        p[f"block_{i}"] = {
+            "ln1": _ln(sd, pre + ".ln1"),
+            "ln2": _ln(sd, pre + ".ln2"),
+            "query": _dense(sd, pre + ".attn.query"),
+            "key": _dense(sd, pre + ".attn.key"),
+            "value": _dense(sd, pre + ".attn.value"),
+            "proj": _dense(sd, pre + ".attn.proj"),
+            "mlp0": _dense(sd, pre + ".mlp.0"),
+            "mlp2": _dense(sd, pre + ".mlp.2"),
+        }
+    return p
