@@ -54,15 +54,16 @@ def main():
 
     sample = jax.jit(diff.ddim_sample, static_argnums=(1,))
 
-    # warmup/compile
+    # warmup/compile; fetch a scalar to the HOST each rep — block_until_ready
+    # alone does not reliably synchronize through the axon tunnel
     out = sample(params, shape, cond, jax.random.key(1), x0)
-    out.block_until_ready()
+    float(jnp.sum(out))
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for i in range(reps):
         out = sample(params, shape, cond, jax.random.key(2 + i), x0)
-    out.block_until_ready()
+        float(jnp.sum(out))
     elapsed = (time.perf_counter() - t0) / reps
 
     n_chips = 1  # bench runs on the single tunneled chip
