@@ -1,0 +1,30 @@
+"""Entry point: `python -m tcdiff_tpu.cli.train --mode {train,val_without_TrajModel,test}`.
+
+The reference's `train.py:8-25` dispatch, over the TPU orchestrator.
+"""
+
+from __future__ import annotations
+
+from tcdiff_tpu.cli.args import config_from_opt, parse_train_opt
+from tcdiff_tpu.train.orchestrator import TCDiff
+
+
+def main(argv=None):
+    opt = parse_train_opt(argv)
+    cfg = config_from_opt(opt)
+    runner = TCDiff(
+        cfg,
+        checkpoint_path=opt.checkpoint or None,
+        use_ema_for_eval=opt.mode != "train",
+    )
+    if opt.mode == "train":
+        runner.train_loop(opt)
+    elif opt.mode == "val_without_TrajModel":
+        runner.given_trajectory_generation_loop(opt)
+    elif opt.mode == "test":
+        runner.test_loop(opt)
+    return runner
+
+
+if __name__ == "__main__":
+    main()

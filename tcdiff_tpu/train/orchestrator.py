@@ -1,0 +1,403 @@
+"""Orchestration: the three top-level loops of the reference's `TCDiff` class.
+
+Rebuilds `/root/reference/TCDiff.py:39-657` TPU-first:
+
+  * `train_loop` — epochs over sharded device batches; ONE jitted train step
+    (loss + grad + Adan + EMA, gradient psum inserted by XLA over the dp
+    mesh axis) instead of accelerate/DDP; orbax checkpoints every
+    `save_interval` epochs with sample renders from the EMA weights
+    (`TCDiff.py:216-303`).
+  * `given_trajectory_generation_loop` — diffusion-stage eval with
+    ground-truth trajectories (`TCDiff.py:310-431`).
+  * `test_loop` — full two-stage pipeline: DBN autoregressive rollout (a
+    lax.scan, not the reference's Python window loop `TCDiff.py:527-547`),
+    vectorized Kalman smoothing on device (not filterpy on host), then
+    trajectory-conditioned DDIM sampling (`TCDiff.py:434-625`).
+
+Host/device split: datasets are host numpy, every compute step is jitted;
+rendering and pkl export stay host-side.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tcdiff_tpu.config import TCDiffConfig
+from tcdiff_tpu.data.dataset import AIOZDataset, load_split_file
+from tcdiff_tpu.data.normalizer import Normalizer
+from tcdiff_tpu.data.synthetic import synthetic_dataset
+from tcdiff_tpu.diffusion import GaussianDiffusion
+from tcdiff_tpu.models import DanceDecoder
+from tcdiff_tpu.optim import adan
+from tcdiff_tpu.parallel import make_mesh, replicated, shard_batch
+from tcdiff_tpu.train.state import create_train_state
+from tcdiff_tpu.train.train_step import make_train_step
+from tcdiff_tpu.trajdecoder import TrajDecoder, autoregressive_rollout, kalman_smooth_batch
+from tcdiff_tpu.utils import (
+    MetricLogger,
+    StepTimer,
+    get_logger,
+    latest_checkpoint,
+    restore_train_state,
+    save_checkpoint,
+)
+from tcdiff_tpu.viz.postprocess import render_sample
+
+
+class _SyntheticDataset:
+    """AIOZDataset-shaped wrapper over synthetic arrays (dataset-free runs)."""
+
+    def __init__(self, n, dancer_num, seed, normalizer=None, seq_len=150):
+        per_sample = normalizer is None
+        poses, music, norm = synthetic_dataset(
+            n, dancer_num, seq_len=seq_len, seed=seed, per_sample_normalization=per_sample
+        )
+        self.poses, self.music = poses, music
+        self.normalizer = normalizer if normalizer is not None else norm
+        if normalizer is not None:
+            self.poses = np.asarray(normalizer.normalize(jnp.asarray(poses)))
+        self.feature_files = [f"synthetic_{i}_slice0.npy" for i in range(n)]
+        self.wav_files = [f"synthetic_{i}_slice0.wav" for i in range(n)]
+
+    def __len__(self):
+        return len(self.poses)
+
+    def get(self, idx):
+        return self.poses[idx], self.music[idx], self.feature_files[idx], self.wav_files[idx]
+
+    def batches(self, batch_size, rng=None, drop_last=True):
+        order = np.arange(len(self))
+        if rng is not None:
+            rng.shuffle(order)
+        for i in range(0, len(order), batch_size):
+            idx = order[i : i + batch_size]
+            if drop_last and len(idx) < batch_size:
+                return
+            yield {
+                "x": self.poses[idx],
+                "cond": self.music[idx],
+                "filename": [self.feature_files[j] for j in idx],
+                "wav": [self.wav_files[j] for j in idx],
+            }
+
+
+def _gt_traj_x0(x: np.ndarray) -> jnp.ndarray:
+    """(B, dn, S, 151) normalized -> (B, S*dn, 3) with z=0.
+
+    The reference extracts channels [4,5] and zero-pads z
+    (`TCDiff.py:382-389`), in time-major token order.
+    """
+    b, dn, s, _ = x.shape
+    xy = np.transpose(x[:, :, :, 4:6], (0, 2, 1, 3)).reshape(b, s * dn, 2)
+    return jnp.asarray(np.concatenate([xy, np.zeros_like(xy[..., :1])], axis=-1))
+
+
+class TCDiff:
+    """Top-level trainer/sampler, the reference `TCDiff` class rebuilt."""
+
+    def __init__(
+        self,
+        cfg: TCDiffConfig,
+        checkpoint_path: Optional[str] = None,
+        use_ema_for_eval: bool = True,
+    ):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+        self.model = DanceDecoder(cfg.model, dtype=dtype)
+        self.diffusion = GaussianDiffusion(self.model, cfg.diffusion)
+        self.tx = adan(
+            cfg.train.learning_rate,
+            betas=cfg.train.adan_betas,
+            eps=cfg.train.adan_eps,
+            weight_decay=cfg.train.weight_decay,
+        )
+        self.mesh = make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
+        self.logger = get_logger()
+        self.normalizer: Optional[Normalizer] = None
+        self.use_ema_for_eval = use_ema_for_eval
+
+        m = cfg.model
+        self.state = jax.device_put(
+            create_train_state(self._init_params(), self.tx), replicated(self.mesh)
+        )
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
+        self.logger.info("DanceDecoder parameters: %.2fM", n_params / 1e6)
+
+        self.checkpoint_path = checkpoint_path
+        if checkpoint_path:
+            self._load_checkpoint(checkpoint_path)
+
+        self._sample_fn = jax.jit(self.diffusion.ddim_sample, static_argnums=(1,))
+        self._long_sample_fn = jax.jit(self.diffusion.long_ddim_sample, static_argnums=(1,))
+
+    # ------------------------------------------------------------------ setup
+    def _init_params(self):
+        m = self.cfg.model
+        tokens = m.seq_len * m.dancer_num
+        return self.model.init(
+            jax.random.key(self.cfg.train.seed),
+            jnp.zeros((1, tokens, m.nfeats)),
+            jnp.zeros((1, 2 * m.seq_len + 1, m.cond_feature_dim)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+
+    def _load_checkpoint(self, path: str) -> None:
+        if path.endswith(".pt"):
+            from tcdiff_tpu.utils import load_reference_checkpoint
+
+            params, norm = load_reference_checkpoint(
+                path, num_layers=self.cfg.model.num_layers, use_ema=self.use_ema_for_eval
+            )
+            params = jax.tree.map(jnp.asarray, params)
+            self.state = self.state.replace(
+                params=params, ema_params=jax.tree.map(jnp.copy, params)
+            )
+            self.normalizer = norm
+            self.logger.info("loaded reference torch checkpoint %s", path)
+            return
+        if os.path.isdir(path) and not os.path.basename(path).startswith("ckpt_"):
+            found = latest_checkpoint(path)
+            if found is None:
+                raise FileNotFoundError(f"no ckpt_* under {path}")
+            path = found
+        self.state, norm = restore_train_state(path, self.state)
+        if norm is not None:
+            self.normalizer = norm
+        self.logger.info("restored checkpoint %s (step %d)", path, int(self.state.step))
+
+    def eval_params(self):
+        return self.state.ema_params if self.use_ema_for_eval else self.state.params
+
+    # ------------------------------------------------------------------- data
+    def load_datasets(self, opt):
+        """(train_ds, test_ds) from AIOZ on disk, or synthetic with --synthetic."""
+        dn = self.cfg.model.dancer_num
+        if getattr(opt, "synthetic", False):
+            n = getattr(opt, "synthetic_size", 16)
+            s = self.cfg.model.seq_len
+            train = _SyntheticDataset(n, dn, seed=self.cfg.train.seed, seq_len=s)
+            test = _SyntheticDataset(
+                max(2, n // 4), dn, seed=self.cfg.train.seed + 1,
+                normalizer=train.normalizer, seq_len=s,
+            )
+            return train, test
+        split = None
+        if getattr(opt, "split_file", None):
+            split = load_split_file(opt.split_file)
+        train = AIOZDataset(
+            opt.data_path, train=True, required_dancer_num=dn, split_file=split
+        )
+        test = AIOZDataset(
+            opt.data_path,
+            train=False,
+            required_dancer_num=dn,
+            split_file=split,
+            normalizer=train.normalizer,
+        )
+        return train, test
+
+    # ------------------------------------------------------------ train loop
+    def train_loop(self, opt, train_ds=None, test_ds=None) -> None:
+        cfg = self.cfg
+        if train_ds is None:
+            train_ds, test_ds = self.load_datasets(opt)
+        self.normalizer = train_ds.normalizer
+
+        run_dir = Path(opt.project) / opt.exp_name
+        ckpt_dir = run_dir / "checkpoints"
+        render_dir = Path(getattr(opt, "render_dir", run_dir / "renders"))
+        metrics = MetricLogger(
+            str(run_dir), project=getattr(opt, "wandb_pj_name", "tcdiff_tpu"),
+            config={"lr": cfg.train.learning_rate, "batch": cfg.train.batch_size},
+        )
+
+        step_fn = jax.jit(
+            make_train_step(
+                self.diffusion, self.tx, cfg.train.ema_beta, cfg.train.ema_interval
+            ),
+            donate_argnums=0,
+        )
+        base_rng = jax.device_put(jax.random.key(cfg.train.seed), replicated(self.mesh))
+        data_rng = np.random.default_rng(cfg.train.seed)
+        timer = StepTimer()
+        epochs = getattr(opt, "epochs", cfg.train.epochs)
+        save_interval = getattr(opt, "save_interval", cfg.train.save_interval)
+        batch_size = getattr(opt, "batch_size", cfg.train.batch_size)
+        motion_s = batch_size * cfg.model.seq_len / cfg.data.raw_fps
+
+        running, n_batches = {}, 0
+        for epoch in range(1, epochs + 1):
+            for batch in train_ds.batches(batch_size, rng=data_rng):
+                xs, cs = shard_batch(
+                    (jnp.asarray(batch["x"]), jnp.asarray(batch["cond"])), self.mesh
+                )
+                timer.tick()
+                self.state, m = step_fn(self.state, xs, cs, base_rng)
+                jax.block_until_ready(m["total"])
+                timer.tock()
+                for k, v in m.items():
+                    running[k] = running.get(k, 0.0) + float(v)
+                n_batches += 1
+
+            if epoch % save_interval == 0 and n_batches:
+                means = {k: v / n_batches for k, v in running.items()}
+                means.update(timer.metrics(motion_seconds_per_step=motion_s))
+                means["epoch"] = epoch
+                metrics.log(means, step=int(self.state.step))
+                self.logger.info(
+                    "epoch %d | loss %.4f | %.2f steps/s",
+                    epoch, means.get("total", float("nan")),
+                    means.get("steps_per_sec", float("nan")),
+                )
+                running, n_batches = {}, 0
+                save_checkpoint(str(ckpt_dir), int(self.state.step), self.state, self.normalizer)
+                if getattr(opt, "render_during_train", True) and test_ds is not None:
+                    try:
+                        self.render_eval_samples(
+                            test_ds, epoch, str(render_dir), count=2,
+                            render=getattr(opt, "render", True),
+                        )
+                    except Exception as e:  # rendering must never kill training
+                        self.logger.warning("render failed: %s", e)
+        metrics.close()
+
+    # -------------------------------------------------------------- sampling
+    def _sample(self, cond, x_0, rng, mode="normal"):
+        cfg = self.cfg.model
+        b = cond.shape[0]
+        shape = (b, cfg.seq_len * cfg.dancer_num, cfg.nfeats)
+        fn = self._long_sample_fn if mode == "long" else self._sample_fn
+        return fn(self.eval_params(), shape, jnp.asarray(cond), rng, x_0)
+
+    def render_eval_samples(
+        self, ds, epoch, render_dir, count=2, mode="normal", fk_out=None, render=True
+    ):
+        """Draw `count` clips with ground-truth trajectories and render them
+        (the train-time visual smoke test, `TCDiff.py:276-303`)."""
+        idx = list(range(min(count, len(ds))))
+        x = np.stack([ds.get(i)[0] for i in idx])
+        cond = np.stack([ds.get(i)[1] for i in idx])
+        names = [ds.get(i)[3] for i in idx]
+        samples = self._sample(
+            cond, _gt_traj_x0(x), jax.random.key(int(self.state.step)), mode
+        )
+        return render_sample(
+            samples, self.normalizer, epoch, render_dir,
+            self.cfg.model.dancer_num, fk_out=fk_out, name=names, sound=False,
+            mode=mode, render=render,
+        )
+
+    # ----------------------------------------------- eval loop (GT trajectory)
+    def given_trajectory_generation_loop(self, opt, test_ds=None) -> None:
+        """Diffusion-stage eval with ground-truth trajectories
+        (`TCDiff.py:310-431`, `--mode val_without_TrajModel`)."""
+        if test_ds is None:
+            _, test_ds = self.load_datasets(opt)
+        if self.normalizer is None:
+            self.normalizer = test_ds.normalizer
+        render_dir = os.path.join(
+            getattr(opt, "render_dir", "renders"), "VAL_" + getattr(opt, "exp_name", "exp")
+        )
+        render_count = min(getattr(opt, "render_count", 30), len(test_ds))
+        rng = np.random.default_rng(self.cfg.train.seed)
+        for epoch in range(1, getattr(opt, "epochs", 1) + 1):
+            batch = next(iter(test_ds.batches(render_count, rng=rng)))
+            samples = self._sample(
+                batch["cond"], _gt_traj_x0(batch["x"]), jax.random.key(epoch),
+                getattr(opt, "sample_mode", "normal"),
+            )
+            render_sample(
+                samples, self.normalizer, epoch, render_dir,
+                self.cfg.model.dancer_num,
+                fk_out=getattr(opt, "vis_fk_out", None),
+                name=batch["wav"], sound=False,
+                mode=getattr(opt, "sample_mode", "normal"),
+                render=getattr(opt, "render", True),
+            )
+            self.logger.info("[VAL-RENDER SAVED at Epoch %d]", epoch)
+
+    # --------------------------------------------------- test loop (full DBN)
+    def test_loop(self, opt, test_ds=None) -> None:
+        """Full two-stage pipeline (`TCDiff.py:434-625`, `--mode test`):
+        DBN rollout seeds on the first `window_size` GT frames, extends by
+        `step` frames per scan iteration, Kalman-smooths, then conditions
+        the diffusion sampler on the generated trajectory."""
+        tcfg = self.cfg.traj
+        if test_ds is None:
+            _, test_ds = self.load_datasets(opt)
+        if self.normalizer is None:
+            self.normalizer = test_ds.normalizer
+
+        traj_model = TrajDecoder(tcfg)
+        traj_params = self._load_traj_params(opt, traj_model)
+        render_dir = os.path.join(
+            getattr(opt, "render_dir", "renders"), "TEST_" + getattr(opt, "exp_name", "exp")
+        )
+        render_count = min(getattr(opt, "render_count", 30), len(test_ds))
+        rng = np.random.default_rng(tcfg.seed)
+
+        rollout = jax.jit(
+            lambda p, seed, music: autoregressive_rollout(
+                traj_model, p, seed, music, tcfg.window_size, tcfg.step
+            )
+        )
+
+        for epoch in range(1, getattr(opt, "epochs", 1) + 1):
+            batch = next(iter(test_ds.batches(render_count, rng=rng)))
+            x = jnp.asarray(batch["x"])  # (b, dn, S, 151) normalized
+            cond = jnp.asarray(batch["cond"])
+            seed_traj = x[:, :, : tcfg.window_size, 4:6]
+            traj = rollout(traj_params, seed_traj, cond)  # (b, dn, L, 2)
+            traj = kalman_smooth_batch(traj)
+            s = x.shape[2]
+            if traj.shape[2] < s:  # music too short to roll the full clip
+                pad = jnp.repeat(traj[:, :, -1:], s - traj.shape[2], axis=2)
+                traj = jnp.concatenate([traj, pad], axis=2)
+            traj = traj[:, :, :s]  # clamp to the clip length, like shape=(.., horizon*dn, ..)
+            b, dn = traj.shape[:2]
+            xy = jnp.transpose(traj, (0, 2, 1, 3)).reshape(b, s * dn, 2)
+            x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+            samples = self._sample(cond, x_0, jax.random.key(epoch))
+            render_sample(
+                samples, self.normalizer, epoch, render_dir,
+                self.cfg.model.dancer_num,
+                fk_out=getattr(opt, "vis_fk_out", None),
+                name=batch["wav"], sound=False,
+                render=getattr(opt, "render", True),
+            )
+            self.logger.info("[TEST-RENDER SAVED at Epoch %d]", epoch)
+
+    def _load_traj_params(self, opt, traj_model: TrajDecoder):
+        tcfg = self.cfg.traj
+        init = traj_model.init(
+            jax.random.key(tcfg.seed),
+            jnp.zeros((1, self.cfg.model.dancer_num, tcfg.window_size, tcfg.nfeats)),
+            jnp.zeros((1, (tcfg.window_size + tcfg.step) * 2, tcfg.cond_feature_dim)),
+        )["params"]
+        path = getattr(opt, "traj_checkpoint", None)
+        if not path:
+            self.logger.warning("no --traj_checkpoint given; using random DBN weights")
+            return init
+        if path.endswith(".pt") or path.endswith(".pth"):
+            import torch
+
+            from tcdiff_tpu.interop.torch_convert import traj_decoder_params_from_torch
+
+            sd = {
+                k: v.numpy()
+                for k, v in torch.load(path, map_location="cpu", weights_only=False)["net"].items()
+            }
+            loaded = traj_decoder_params_from_torch(sd, trans_layer=tcfg.trans_layer)
+            return jax.tree.map(jnp.asarray, loaded)
+        from tcdiff_tpu.utils import load_checkpoint
+
+        restored = load_checkpoint(path)
+        from flax import serialization
+
+        return serialization.from_state_dict(init, restored["state"]["params"])
