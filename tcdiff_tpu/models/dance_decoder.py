@@ -117,21 +117,31 @@ class SBIMSA(nn.Module):
         k = k.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
 
-        scale = 1.0 / jnp.asarray(np.sqrt(dk), self.dtype)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        scale = float(1.0 / np.sqrt(dk))
+        if deterministic:
+            # inference: one fused Pallas program per (batch, head) — no
+            # dropout on attention weights, no autodiff needed
+            from tcdiff_tpu.ops import fused_attention
 
-        if trj_dist is not None:
-            # shared_emb: (10, h*dk) table; bias[b,h,i,j] = q[b,h,i] . emb[trj_dist[b,i,j], h]
-            # (the reference's gather over an indexed matrix, `model/model.py:82-94`;
-            # note the bias uses the UNSCALED q there)
-            table = shared_emb.reshape(10, h, dk).transpose(1, 0, 2)  # (h, 10, dk)
-            indexed = jnp.einsum("bhqd,hnd->bhqn", q, table.astype(q.dtype))  # (b,h,lq,10)
-            idx = jnp.broadcast_to(trj_dist[:, None, :, :], (b, h, lq, lk))
-            logits = logits + jnp.take_along_axis(indexed, idx, axis=3)
-
-        attn = jax.nn.softmax(logits, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            table = None
+            dist = None
+            if trj_dist is not None:
+                table = shared_emb.reshape(10, h, dk).transpose(1, 0, 2)
+                dist = trj_dist.astype(jnp.int32)
+            out = fused_attention(q, k, v, scale, table, dist)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k)
+            if trj_dist is not None:
+                # shared_emb: (10, h*dk) table; bias[b,h,i,j] = q[b,h,i] . emb[trj_dist[b,i,j], h]
+                # (the reference's gather over an indexed matrix, `model/model.py:82-94`;
+                # note the bias uses the UNSCALED q there)
+                table = shared_emb.reshape(10, h, dk).transpose(1, 0, 2)  # (h, 10, dk)
+                indexed = jnp.einsum("bhqd,hnd->bhqn", q, table.astype(q.dtype))  # (b,h,lq,10)
+                idx = jnp.broadcast_to(trj_dist[:, None, :, :], (b, h, lq, lk))
+                logits = logits + jnp.take_along_axis(indexed, idx, axis=3)
+            attn = jax.nn.softmax(logits, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * dk)
         out = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -160,11 +170,16 @@ class TorchMHA(nn.Module):
         q = q.reshape(b, lq, h, dh).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
-        scale = 1.0 / jnp.asarray(np.sqrt(dh), self.dtype)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
-        attn = jax.nn.softmax(logits, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        scale = float(1.0 / np.sqrt(dh))
+        if deterministic:
+            from tcdiff_tpu.ops import fused_attention
+
+            out = fused_attention(q, k, v, scale)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k)
+            attn = jax.nn.softmax(logits, axis=-1)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, self.d_model)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
 

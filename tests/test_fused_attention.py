@@ -1,0 +1,71 @@
+"""Pallas fused attention vs the XLA einsum reference path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tcdiff_tpu.ops import fused_attention
+
+
+def _ref_attention(q, k, v, scale, table=None, dist=None):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    if table is not None:
+        indexed = jnp.einsum("bhqd,hnd->bhqn", q, table)
+        idx = jnp.broadcast_to(dist[:, None, :, :], logits.shape)
+        logits = logits + jnp.take_along_axis(indexed, idx, axis=3)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape).astype(np.float32))
+
+
+def test_fused_attention_matches_einsum():
+    b, h, lq, lk, dk = 2, 4, 30, 30, 16
+    q, k, v = _rand((b, h, lq, dk), 0), _rand((b, h, lk, dk), 1), _rand((b, h, lk, dk), 2)
+    scale = 1.0 / np.sqrt(dk)
+    out = fused_attention(q, k, v, scale)
+    ref = _ref_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_cross_shape():
+    # cross-attention: lq != lk, dv == dk
+    b, h, lq, lk, dk = 1, 2, 12, 33, 8
+    q, k, v = _rand((b, h, lq, dk), 3), _rand((b, h, lk, dk), 4), _rand((b, h, lk, dk), 5)
+    out = fused_attention(q, k, v, 0.25)
+    ref = _ref_attention(q, k, v, 0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_trpe_bias():
+    b, h, lq, dk = 2, 3, 20, 16
+    lk = lq
+    q, k, v = _rand((b, h, lq, dk), 6), _rand((b, h, lk, dk), 7), _rand((b, h, lk, dk), 8)
+    table = _rand((h, 10, dk), 9) * 0.3
+    dist = jnp.asarray(
+        np.random.default_rng(10).integers(0, 10, size=(b, lq, lk)), jnp.int32
+    )
+    scale = 1.0 / np.sqrt(dk)
+    out = fused_attention(q, k, v, scale, table, dist)
+    ref = _ref_attention(q, k, v, scale, table, dist)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sbimsa_deterministic_uses_same_math_as_training_path():
+    """The flax module's two branches (fused vs einsum+dropout-off) agree."""
+    from tcdiff_tpu.models.dance_decoder import SBIMSA
+
+    m = SBIMSA(n_head=2, d_model=32, dk=8, dropout=0.0)
+    x = _rand((2, 10, 32), 11)
+    emb = _rand((10, 16), 12)
+    dist = jnp.asarray(np.random.default_rng(13).integers(0, 10, (2, 10, 10)), jnp.int32)
+    params = m.init(jax.random.key(0), x, x, x, emb, dist)
+    det = m.apply(params, x, x, x, emb, dist, deterministic=True)
+    # dropout=0 -> the stochastic branch is deterministic too
+    trn = m.apply(
+        params, x, x, x, emb, dist, deterministic=False,
+        rngs={"dropout": jax.random.key(1)},
+    )
+    np.testing.assert_allclose(np.asarray(det), np.asarray(trn), atol=2e-5)
