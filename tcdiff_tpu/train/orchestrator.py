@@ -231,9 +231,20 @@ class TCDiff:
         batch_size = getattr(opt, "batch_size", cfg.train.batch_size)
         motion_s = batch_size * cfg.model.seq_len / cfg.data.raw_fps
 
+        # overlap host IO with device steps via the native C++ prefetcher
+        # (falls back to synchronous loading without a toolchain)
+        from tcdiff_tpu.data.native_loader import PrefetchingBatches, native_available
+
+        use_native = native_available() and not isinstance(train_ds, _SyntheticDataset)
+
         running, n_batches = {}, 0
         for epoch in range(1, epochs + 1):
-            for batch in train_ds.batches(batch_size, rng=data_rng):
+            batches = (
+                PrefetchingBatches(train_ds, batch_size, rng=data_rng)
+                if use_native
+                else train_ds.batches(batch_size, rng=data_rng)
+            )
+            for batch in batches:
                 xs, cs = shard_batch(
                     (jnp.asarray(batch["x"]), jnp.asarray(batch["cond"])), self.mesh
                 )
