@@ -48,7 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     # Validation / test
     parser.add_argument("--traj_checkpoint", type=str, default=None)
     parser.add_argument("--render_count", type=int, default=30)
-    parser.add_argument("--sample_mode", default="normal", choices=["normal", "long"])
+    parser.add_argument(
+        "--sample_mode", default="normal",
+        choices=["normal", "long", "footwork", "ddpm"],
+        help="sampler: DDIM / sliced long-form DDIM / footwork adaptor / DDPM",
+    )
     parser.add_argument(
         "--mode", default="train", choices=["train", "val_without_TrajModel", "test"]
     )

@@ -212,10 +212,14 @@ class TCDiff:
         run_dir = Path(opt.project) / opt.exp_name
         ckpt_dir = run_dir / "checkpoints"
         render_dir = Path(getattr(opt, "render_dir", run_dir / "renders"))
+        # host-0 gating: the analogue of accelerate's is_main_process checks
+        # (`TCDiff.py:237-251`); on multi-host meshes only process 0 logs,
+        # checkpoints, and renders
+        is_host0 = jax.process_index() == 0
         metrics = MetricLogger(
             str(run_dir), project=getattr(opt, "wandb_pj_name", "tcdiff_tpu"),
             config={"lr": cfg.train.learning_rate, "batch": cfg.train.batch_size},
-        )
+        ) if is_host0 else None
 
         step_fn = jax.jit(
             make_train_step(
@@ -256,7 +260,7 @@ class TCDiff:
                     running[k] = running.get(k, 0.0) + float(v)
                 n_batches += 1
 
-            if epoch % save_interval == 0 and n_batches:
+            if epoch % save_interval == 0 and n_batches and is_host0:
                 means = {k: v / n_batches for k, v in running.items()}
                 means.update(timer.metrics(motion_seconds_per_step=motion_s))
                 means["epoch"] = epoch
@@ -276,15 +280,30 @@ class TCDiff:
                         )
                     except Exception as e:  # rendering must never kill training
                         self.logger.warning("render failed: %s", e)
-        metrics.close()
+        if metrics is not None:
+            metrics.close()
 
     # -------------------------------------------------------------- sampling
-    def _sample(self, cond, x_0, rng, mode="normal"):
+    def _sample(self, cond, x_0, rng, mode="normal", full_ref=None):
+        """mode: normal (DDIM), long (sliced DDIM with half-window coupling),
+        footwork (leg channels driven by `full_ref`), ddpm (ancestral loop)."""
         cfg = self.cfg.model
         b = cond.shape[0]
         shape = (b, cfg.seq_len * cfg.dancer_num, cfg.nfeats)
-        fn = self._long_sample_fn if mode == "long" else self._sample_fn
-        return fn(self.eval_params(), shape, jnp.asarray(cond), rng, x_0)
+        cond = jnp.asarray(cond)
+        params = self.eval_params()
+        if mode == "long":
+            return self._long_sample_fn(params, shape, cond, rng, x_0)
+        if mode == "footwork":
+            assert full_ref is not None, "footwork mode needs a reference motion"
+            return jax.jit(self.diffusion.ddim_sample_footwork, static_argnums=(1,))(
+                params, shape, cond, rng, jnp.asarray(full_ref)
+            )
+        if mode == "ddpm":
+            return jax.jit(self.diffusion.p_sample_loop, static_argnums=(1,))(
+                params, shape, cond, rng
+            )
+        return self._sample_fn(params, shape, cond, rng, x_0)
 
     def render_eval_samples(
         self, ds, epoch, render_dir, count=2, mode="normal", fk_out=None, render=True
@@ -319,9 +338,16 @@ class TCDiff:
         rng = np.random.default_rng(self.cfg.train.seed)
         for epoch in range(1, getattr(opt, "epochs", 1) + 1):
             batch = next(iter(test_ds.batches(render_count, rng=rng)))
+            mode = getattr(opt, "sample_mode", "normal")
+            b, dn, s, c = batch["x"].shape
+            full_ref = (
+                np.transpose(batch["x"], (0, 2, 1, 3)).reshape(b, s * dn, c)
+                if mode == "footwork"
+                else None
+            )
             samples = self._sample(
                 batch["cond"], _gt_traj_x0(batch["x"]), jax.random.key(epoch),
-                getattr(opt, "sample_mode", "normal"),
+                mode, full_ref=full_ref,
             )
             render_sample(
                 samples, self.normalizer, epoch, render_dir,

@@ -32,7 +32,10 @@ def _tiny_cfg(seq_len=16, dancers=2):
             dancer_num=dancers,
             head_dim=16,
         ),
-        diffusion=DiffusionConfig(sampling_timesteps=2, n_timestep=10),
+        diffusion=DiffusionConfig(
+            sampling_timesteps=2, n_timestep=10,
+            footwork_frames=(4, 12), footwork_blend_width=2,
+        ),
         train=TrainConfig(batch_size=8, save_interval=1, epochs=2, dp=-1),
         traj=TrajDecoderConfig(window_size=8, step=4, trans_layer=1, latent_dim=16),
     )
