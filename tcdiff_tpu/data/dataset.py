@@ -29,6 +29,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
+from pathlib import Path
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -189,6 +190,36 @@ class AIOZDataset:
 
     def __len__(self):
         return len(self.poses)
+
+    # ---------------------------------------------------------------- cache
+    # The reference pickles whole Dataset objects as a cache
+    # (`TCDiff.py:143-173`, gated by --no_cache/--force_reload); here the
+    # processed arrays go into one npz, loadable without reprocessing.
+    def save_cache(self, path: str) -> None:
+        Path(os.path.dirname(path) or ".").mkdir(parents=True, exist_ok=True)
+        stats = self.normalizer.to_numpy()
+        np.savez_compressed(
+            path,
+            poses=self.poses,
+            feature_files=np.asarray(self.feature_files),
+            wav_files=np.asarray(self.wav_files),
+            norm_scale=stats["scale"],
+            norm_offset=stats["offset"],
+            train=np.asarray(self.train),
+        )
+
+    @classmethod
+    def from_cache(cls, path: str) -> "AIOZDataset":
+        z = np.load(path, allow_pickle=False)
+        self = cls.__new__(cls)
+        self.train = bool(z["train"])
+        self.poses = z["poses"]
+        self.required_dancer_num = self.poses.shape[1]
+        self.feature_files = [str(s) for s in z["feature_files"]]
+        self.wav_files = [str(s) for s in z["wav_files"]]
+        self.normalizer = Normalizer.from_torch_state(z["norm_scale"], z["norm_offset"])
+        self._feature_cache = {}
+        return self
 
     def _load_feature(self, path: str) -> np.ndarray:
         if self._feature_cache is not None and path in self._feature_cache:

@@ -190,6 +190,19 @@ class TCDiff:
         split = None
         if getattr(opt, "split_file", None):
             split = load_split_file(opt.split_file)
+
+        # processed-dataset cache (`TCDiff.py:143-173` semantics)
+        cache_dir = getattr(opt, "processed_data_dir", None)
+        no_cache = getattr(opt, "no_cache", False)
+        force = getattr(opt, "force_reload", False)
+        tr_cache = os.path.join(cache_dir, f"train_dn{dn}.npz") if cache_dir else None
+        te_cache = os.path.join(cache_dir, f"test_dn{dn}.npz") if cache_dir else None
+        if (
+            not no_cache and not force and tr_cache
+            and os.path.exists(tr_cache) and os.path.exists(te_cache)
+        ):
+            return AIOZDataset.from_cache(tr_cache), AIOZDataset.from_cache(te_cache)
+
         train = AIOZDataset(
             opt.data_path, train=True, required_dancer_num=dn, split_file=split
         )
@@ -200,6 +213,9 @@ class TCDiff:
             split_file=split,
             normalizer=train.normalizer,
         )
+        if tr_cache and not no_cache:
+            train.save_cache(tr_cache)
+            test.save_cache(te_cache)
         return train, test
 
     # ------------------------------------------------------------ train loop
