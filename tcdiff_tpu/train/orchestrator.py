@@ -87,6 +87,36 @@ class _SyntheticDataset:
             }
 
 
+def consecutive_slice_indices(feature_files, count: int):
+    """Indices of up to `count` CONSECUTIVE slices of one origin sequence.
+
+    Long-form generation couples neighboring half-overlapping slices inside
+    the sampler (`model/diffusion.py:502-506`), so the batch must be slices
+    i, i+1, ... of the SAME song in order — not a shuffled draw. Picks the
+    origin with the longest run.
+    """
+    import re
+
+    groups = {}
+    for i, f in enumerate(feature_files):
+        stem = os.path.splitext(os.path.basename(f))[0]
+        m = re.match(r"(.+)_slice(\d+)$", stem)
+        if not m:
+            continue
+        groups.setdefault(m.group(1), []).append((int(m.group(2)), i))
+    best = []
+    for slices in groups.values():
+        slices.sort()
+        run = [slices[0]]
+        for prev, cur in zip(slices, slices[1:]):
+            run = run + [cur] if cur[0] == prev[0] + 1 else [cur]
+            if len(run) >= count:
+                break
+        if len(run) > len(best):
+            best = run
+    return [i for _, i in best[:count]]
+
+
 def _gt_traj_x0(x: np.ndarray) -> jnp.ndarray:
     """(B, dn, S, 151) normalized -> (B, S*dn, 3) with z=0.
 
@@ -352,9 +382,21 @@ class TCDiff:
         )
         render_count = min(getattr(opt, "render_count", 30), len(test_ds))
         rng = np.random.default_rng(self.cfg.train.seed)
+        mode = getattr(opt, "sample_mode", "normal")
         for epoch in range(1, getattr(opt, "epochs", 1) + 1):
-            batch = next(iter(test_ds.batches(render_count, rng=rng)))
-            mode = getattr(opt, "sample_mode", "normal")
+            if mode == "long":
+                idx = consecutive_slice_indices(test_ds.feature_files, render_count)
+                if len(idx) < 2:  # no consecutive run (e.g. synthetic); any 2+
+                    idx = list(range(min(render_count, len(test_ds))))
+                items = [test_ds.get(i) for i in idx]
+                batch = {
+                    "x": np.stack([it[0] for it in items]),
+                    "cond": np.stack([it[1] for it in items]),
+                    "filename": [it[2] for it in items],
+                    "wav": [it[3] for it in items],
+                }
+            else:
+                batch = next(iter(test_ds.batches(render_count, rng=rng)))
             b, dn, s, c = batch["x"].shape
             full_ref = (
                 np.transpose(batch["x"], (0, 2, 1, 3)).reshape(b, s * dn, c)
