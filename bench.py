@@ -51,6 +51,12 @@ def main():
         jnp.zeros((1, 301, cfg.cond_feature_dim)),
         jnp.zeros((1,), jnp.int32),
     )["params"]
+    if compute_dtype == jnp.bfloat16 and os.environ.get("BENCH_CAST_PARAMS", "1") == "1":
+        # store weights in bf16 too: halves the HBM weight traffic that
+        # dominates small-batch sampling (60M params x 50 steps)
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+        )
 
     sample = jax.jit(diff.ddim_sample, static_argnums=(1,))
 

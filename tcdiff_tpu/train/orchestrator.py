@@ -287,8 +287,13 @@ class TCDiff:
 
         use_native = native_available() and not isinstance(train_ds, _SyntheticDataset)
 
+        profile_dir = getattr(opt, "profile_dir", None)
         running, n_batches = {}, 0
         for epoch in range(1, epochs + 1):
+            if profile_dir and epoch == 2 and is_host0:
+                # trace epoch 2 (epoch 1 pays the compile) — SURVEY §5 notes
+                # the reference has no profiling at all
+                jax.profiler.start_trace(profile_dir)
             batches = (
                 PrefetchingBatches(train_ds, batch_size, rng=data_rng)
                 if use_native
@@ -302,9 +307,27 @@ class TCDiff:
                 self.state, m = step_fn(self.state, xs, cs, base_rng)
                 jax.block_until_ready(m["total"])
                 timer.tock()
+                total = float(m["total"])
+                if not np.isfinite(total):
+                    # failure detection the reference lacks (SURVEY §5): halt
+                    # with a rescue checkpoint instead of training on NaNs
+                    if is_host0:
+                        path = save_checkpoint(
+                            str(ckpt_dir), int(self.state.step), self.state, self.normalizer
+                        )
+                        self.logger.error(
+                            "non-finite loss %s at step %d; rescue checkpoint at %s",
+                            total, int(self.state.step), path,
+                        )
+                    raise FloatingPointError(
+                        f"non-finite loss at step {int(self.state.step)}"
+                    )
                 for k, v in m.items():
                     running[k] = running.get(k, 0.0) + float(v)
                 n_batches += 1
+
+            if profile_dir and epoch == 2 and is_host0:
+                jax.profiler.stop_trace()
 
             if epoch % save_interval == 0 and n_batches and is_host0:
                 means = {k: v / n_batches for k, v in running.items()}
