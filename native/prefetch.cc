@@ -53,21 +53,44 @@ bool read_npy_f32(const std::string& path, float* out, int64_t expect_elems) {
   }
   const bool f32 = header.find("'<f4'") != std::string::npos;
   const bool f64 = header.find("'<f8'") != std::string::npos;
-  if ((!f32 && !f64) || header.find("'fortran_order': True") != std::string::npos) {
+  const bool fortran = header.find("'fortran_order': True") != std::string::npos;
+  if (!f32 && !f64) {
     std::fclose(f);
     return false;
   }
+  // fortran_order needs the shape to un-transpose; parse "'shape': (a, b)"
+  int64_t rows = 0, cols = 0;
+  if (fortran) {
+    auto pos = header.find("'shape': (");
+    if (pos == std::string::npos ||
+        std::sscanf(header.c_str() + pos, "'shape': (%ld, %ld)", &rows, &cols) != 2 ||
+        rows * cols != expect_elems) {
+      std::fclose(f);
+      return false;  // only 2-D fortran arrays are supported
+    }
+  }
   size_t got;
+  std::vector<float> staging;
+  float* dst = out;
+  if (fortran) {
+    staging.resize(expect_elems);
+    dst = staging.data();
+  }
   if (f32) {
-    got = std::fread(out, sizeof(float), expect_elems, f);
+    got = std::fread(dst, sizeof(float), expect_elems, f);
   } else {
     std::vector<double> tmp(expect_elems);
     got = std::fread(tmp.data(), sizeof(double), expect_elems, f);
-    for (size_t i = 0; i < got; ++i) out[i] = static_cast<float>(tmp[i]);
+    for (size_t i = 0; i < got; ++i) dst[i] = static_cast<float>(tmp[i]);
   }
   std::fclose(f);
   if (got < static_cast<size_t>(expect_elems)) {
-    std::memset(out + got, 0, (expect_elems - got) * sizeof(float));
+    std::memset(dst + got, 0, (expect_elems - got) * sizeof(float));
+  }
+  if (fortran) {  // column-major (rows, cols) -> row-major
+    for (int64_t c = 0; c < cols; ++c)
+      for (int64_t r = 0; r < rows; ++r)
+        out[r * cols + c] = staging[c * rows + r];
   }
   return true;
 }

@@ -57,7 +57,9 @@ def extract_music_features(y: np.ndarray, sr: int = SR) -> np.ndarray:
         ],
         axis=0,
     )
-    return feature.T.astype(np.float32)  # (frames, 438)
+    # C-contiguous result: np.save would otherwise record fortran_order for
+    # the transposed view, which slows every consumer down
+    return np.ascontiguousarray(feature.T, dtype=np.float32)  # (frames, 438)
 
 
 def wav_processing(wav_path: str, save_npy: bool = False) -> np.ndarray:

@@ -29,6 +29,9 @@ def make_mesh(dp: int = -1, tp: int = 1, devices: Optional[Sequence] = None) -> 
         if n % tp != 0:
             raise ValueError(f"{n} devices not divisible by tp={tp}")
         dp = n // tp
+    if dp * tp < n:
+        devices = devices[: dp * tp]  # use a prefix of the devices
+        n = len(devices)
     if dp * tp != n:
         raise ValueError(f"dp*tp = {dp * tp} != {n} devices")
     arr = np.asarray(devices).reshape(dp, tp)
