@@ -54,7 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="sampler: DDIM / sliced long-form DDIM / footwork adaptor / DDPM",
     )
     parser.add_argument(
-        "--mode", default="train", choices=["train", "val_without_TrajModel", "test"]
+        "--mode", default="train",
+        choices=["train", "val_without_TrajModel", "test", "eval"],
     )
 
     # TPU-build extras

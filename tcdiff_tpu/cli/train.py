@@ -23,6 +23,8 @@ def main(argv=None):
         runner.given_trajectory_generation_loop(opt)
     elif opt.mode == "test":
         runner.test_loop(opt)
+    elif opt.mode == "eval":
+        runner.evaluate_loop(opt)
     return runner
 
 

@@ -1,0 +1,27 @@
+from tcdiff_tpu.eval.metrics import (
+    beat_alignment_score,
+    collision_frequency,
+    diversity,
+    evaluate,
+    extract_features,
+    foot_skating_ratio,
+    frechet_distance,
+    geometric_features,
+    kinematic_beats,
+    kinetic_features,
+    music_beats_from_features,
+)
+
+__all__ = [
+    "beat_alignment_score",
+    "collision_frequency",
+    "diversity",
+    "evaluate",
+    "extract_features",
+    "foot_skating_ratio",
+    "frechet_distance",
+    "geometric_features",
+    "kinematic_beats",
+    "kinetic_features",
+    "music_beats_from_features",
+]

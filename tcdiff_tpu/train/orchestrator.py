@@ -440,6 +440,55 @@ class TCDiff:
             )
             self.logger.info("[VAL-RENDER SAVED at Epoch %d]", epoch)
 
+    # ----------------------------------------------------------- metric eval
+    def evaluate_loop(self, opt, test_ds=None) -> dict:
+        """Quality metrics on generated motion vs ground truth (`--mode eval`).
+
+        The reference has no eval code at all (SURVEY §4); this computes the
+        paper's quality axes: FID over kinetic/geometric features,
+        diversity, beat alignment, foot skating, collision frequency.
+        """
+        import json
+
+        from tcdiff_tpu.eval import evaluate
+        from tcdiff_tpu.geometry import smpl_fk
+        from tcdiff_tpu.viz.postprocess import split_sample
+
+        if test_ds is None:
+            _, test_ds = self.load_datasets(opt)
+        if self.normalizer is None:
+            self.normalizer = test_ds.normalizer
+        count = min(getattr(opt, "render_count", 30), len(test_ds))
+        dn = self.cfg.model.dancer_num
+
+        def fk_batch(samples):
+            _, pos, q = split_sample(samples, self.normalizer, dn)
+            joints = np.asarray(smpl_fk(q, pos))  # (b, seq*dn, 24, 3)
+            b = joints.shape[0]
+            seq = joints.shape[1] // dn
+            joints = joints.reshape(b, seq, dn, 24, 3).transpose(0, 2, 1, 3, 4)
+            roots = np.asarray(pos).reshape(b, seq, dn, 3).transpose(0, 2, 1, 3)
+            return joints, roots
+
+        batch = next(iter(test_ds.batches(count, rng=np.random.default_rng(0))))
+        x = batch["x"]
+        b, dnn, s, c = x.shape
+        gt_flat = jnp.asarray(np.transpose(x, (0, 2, 1, 3)).reshape(b, s * dnn, c))
+        samples = self._sample(
+            batch["cond"], _gt_traj_x0(x), jax.random.key(self.cfg.train.seed)
+        )
+        gen_joints, gen_roots = fk_batch(samples)
+        ref_joints, _ = fk_batch(gt_flat)
+        report = evaluate(
+            gen_joints, ref_joints, music_feats=list(batch["cond"]), gen_roots=gen_roots
+        )
+        self.logger.info("eval metrics: %s", report)
+        out = Path(getattr(opt, "project", "runs")) / getattr(opt, "exp_name", "exp")
+        out.mkdir(parents=True, exist_ok=True)
+        with open(out / "eval.json", "w") as f:
+            json.dump(report, f, indent=2)
+        return report
+
     # --------------------------------------------------- test loop (full DBN)
     def test_loop(self, opt, test_ds=None) -> None:
         """Full two-stage pipeline (`TCDiff.py:434-625`, `--mode test`):

@@ -1,0 +1,21 @@
+"""--mode eval: end-to-end metric report through the orchestrator."""
+
+import json
+import os
+
+import numpy as np
+
+from tcdiff_tpu.train.orchestrator import TCDiff
+
+from tests.test_orchestrator import _opt, _tiny_cfg
+
+
+def test_evaluate_loop_writes_report(tmp_path):
+    runner = TCDiff(_tiny_cfg(), use_ema_for_eval=False)
+    opt = _opt(tmp_path, mode="eval")
+    report = runner.evaluate_loop(opt)
+    for key in ("fid_k", "fid_g", "div_k", "foot_skate", "beat_align", "collision_freq"):
+        assert key in report, key
+        assert np.isfinite(report[key])
+    on_disk = json.load(open(tmp_path / "runs" / "t" / "eval.json"))
+    assert on_disk.keys() == report.keys()
