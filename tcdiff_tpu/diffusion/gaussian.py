@@ -69,15 +69,31 @@ class GaussianDiffusion:
         self.buffers = DiffusionBuffers.create(cfg.schedule, cfg.n_timestep, cfg.use_p2)
 
     # ------------------------------------------------------------------ CFG
-    def guided(self, params, x, cond, t_vec, weight, trj_dist=None):
+    def encode_cond_cfg(self, params, cond):
+        """Encode the music condition ONCE for a doubled (uncond ‖ cond)
+        batch. The encoding is independent of x and t, so samplers hoist it
+        out of the denoising scan (the reference re-encodes in every one of
+        the 100 forwards per clip, `model/model.py:571-581`)."""
+        b = cond.shape[0]
+        keep = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
+        cc = jnp.concatenate([cond, cond], axis=0)
+        return self.model.apply(
+            {"params": params}, None, cc, None, keep,
+            deterministic=True, return_cond_cache=True,
+        )
+
+    def guided(self, params, x, cond, t_vec, weight, trj_dist=None, cond_cache=None):
         """One doubled-batch CFG forward: unc + (cond - unc) * weight."""
         b = x.shape[0]
         keep = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
         xx = jnp.concatenate([x, x], axis=0)
-        cc = jnp.concatenate([cond, cond], axis=0)
+        cc = None if cond_cache is not None else jnp.concatenate([cond, cond], axis=0)
         tt = jnp.concatenate([t_vec, t_vec], axis=0)
         td = None if trj_dist is None else jnp.concatenate([trj_dist, trj_dist], axis=0)
-        out = self.model.apply({"params": params}, xx, cc, tt, keep, td, deterministic=True)
+        out = self.model.apply(
+            {"params": params}, xx, cc, tt, keep, td,
+            deterministic=True, cond_cache=cond_cache,
+        )
         unc, con = out[:b], out[b:]
         return unc + (con - unc) * weight
 
@@ -263,6 +279,7 @@ class GaussianDiffusion:
         w_arr = jnp.asarray(weights, dtype=jnp.float32)
         t_arr = jnp.asarray(times)
         tn_arr = jnp.asarray(times_next)
+        cond_cache = self.encode_cond_cfg(params, cond)  # hoisted: t-independent
 
         def body(carry, inp):
             xc, key = carry
@@ -272,7 +289,9 @@ class GaussianDiffusion:
             weight = w_arr[i]
 
             t_vec = jnp.full((b,), time, dtype=jnp.int32)
-            x_start = self.guided(params, xc, cond, t_vec, weight, trj_dist)
+            x_start = self.guided(
+                params, xc, cond, t_vec, weight, trj_dist, cond_cache=cond_cache
+            )
             if cfg.clip_denoised:
                 x_start = jnp.clip(x_start, -1.0, 1.0)
             pred_noise = (sr[time] * xc - x_start) / srm1[time]
@@ -406,11 +425,13 @@ class GaussianDiffusion:
             mask = jnp.asarray(constraint["mask"])
             value = jnp.asarray(constraint["value"])
 
+        cond_cache = self.encode_cond_cfg(params, cond)  # hoisted: t-independent
+
         def body(carry, i):
             xc, key = carry
             t = start - 1 - i  # descending
             t_vec = jnp.full((b,), t, dtype=jnp.int32)
-            x_recon = self.guided(params, xc, cond, t_vec, w_tab[t])
+            x_recon = self.guided(params, xc, cond, t_vec, w_tab[t], cond_cache=cond_cache)
             if cfg.clip_denoised:
                 x_recon = jnp.clip(x_recon, -1.0, 1.0)
             mean = pm1[t] * x_recon + pm2[t] * xc

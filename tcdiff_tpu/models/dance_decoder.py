@@ -298,15 +298,67 @@ class DanceDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond, times, keep_mask=None, trj_dist=None, *, deterministic=True):
+    def __call__(
+        self, x, cond, times, keep_mask=None, trj_dist=None, *,
+        deterministic=True, cond_cache=None, return_cond_cache=False,
+    ):
+        """`cond_cache`/`return_cond_cache`: the music-cond encoding is
+        independent of x and t, so samplers encode it ONCE
+        (return_cond_cache=True -> (ct, cond_hidden)) and replay it through
+        every denoising step via cond_cache — exact math, hoisted out of the
+        50-step scan. The reference re-encodes the condition in all 100
+        forwards per clip (`model/model.py:571-581`)."""
         cfg = self.cfg
         d = cfg.latent_dim
+        if keep_mask is None:
+            b0 = cond.shape[0] if x is None else x.shape[0]
+            keep_mask = jnp.ones((b0,), dtype=bool)
+
+        # CFG null embeddings (`model/model.py:468-469,585-611`)
+        null_cond_embed = self.param(
+            "null_cond_embed", nn.initializers.normal(1.0), (1, cfg.seq_len, d), jnp.float32
+        )
+        null_cond_hidden = self.param(
+            "null_cond_hidden", nn.initializers.normal(1.0), (1, d), jnp.float32
+        )
+
+        if cond_cache is None:
+            # music condition: pack 2 frames (60 -> 30 FPS), project, encode
+            # (`model/model.py:571-581`)
+            cond = cond.astype(self.dtype)
+            b = cond.shape[0]
+            if cond.shape[1] % 2 == 1:
+                cond = cond[:, :-1]
+            cond2 = cond.reshape(b, cond.shape[1] // 2, cfg.cond_feature_dim * 2)
+            ct = nn.Dense(cfg.cond_feature_dim, dtype=self.dtype, name="cond_projection_0")(cond2)
+            ct = jax.nn.relu(ct)
+            ct = nn.Dense(d, dtype=self.dtype, name="cond_projection_1")(ct)
+            for i in range(2):
+                ct = TransformerEncoderLayer(
+                    d, cfg.num_heads, cfg.ff_size, cfg.dropout, self.dtype, name=f"cond_encoder_{i}"
+                )(ct, deterministic=deterministic)
+
+            km3 = keep_mask[:, None, None]
+            ct = jnp.where(km3, ct, null_cond_embed.astype(self.dtype))
+
+            pooled = jnp.mean(ct, axis=-2)
+            ch = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="non_attn_norm")(pooled)
+            ch = nn.Dense(d, dtype=self.dtype, name="non_attn_dense0")(ch)
+            ch = jax.nn.silu(ch)
+            cond_hidden = nn.Dense(d, dtype=self.dtype, name="non_attn_dense1")(ch)
+            cond_hidden = jnp.where(
+                keep_mask[:, None], cond_hidden, null_cond_hidden.astype(self.dtype)
+            )
+            if return_cond_cache:
+                return ct, cond_hidden
+        else:
+            ct, cond_hidden = cond_cache
+            ct = ct.astype(self.dtype)
+            cond_hidden = cond_hidden.astype(self.dtype)
+
         b, tokens, nfeats = x.shape
         dn = tokens // cfg.seq_len
         x = x.astype(self.dtype)
-        cond = cond.astype(self.dtype)
-        if keep_mask is None:
-            keep_mask = jnp.ones((b,), dtype=bool)
 
         # per-token XY deltas -> traj embedding (`model/model.py:557`)
         xy = x[:, :, [4, 5]]
@@ -325,36 +377,6 @@ class DanceDecoder(nn.Module):
         f = nn.Dense(d * dn, dtype=self.dtype, name="relative_projection_2")(f)
         h = f.reshape(b, tokens, d)
 
-        # music condition: pack 2 frames (60 -> 30 FPS), project, encode
-        # (`model/model.py:571-581`)
-        c_len = cond.shape[1]
-        if c_len % 2 == 1:
-            cond = cond[:, :-1]
-        cond2 = cond.reshape(b, cond.shape[1] // 2, cfg.cond_feature_dim * 2)
-        ct = nn.Dense(cfg.cond_feature_dim, dtype=self.dtype, name="cond_projection_0")(cond2)
-        ct = jax.nn.relu(ct)
-        ct = nn.Dense(d, dtype=self.dtype, name="cond_projection_1")(ct)
-        for i in range(2):
-            ct = TransformerEncoderLayer(
-                d, cfg.num_heads, cfg.ff_size, cfg.dropout, self.dtype, name=f"cond_encoder_{i}"
-            )(ct, deterministic=deterministic)
-
-        # CFG null embeddings (`model/model.py:468-469,585-611`)
-        null_cond_embed = self.param(
-            "null_cond_embed", nn.initializers.normal(1.0), (1, cfg.seq_len, d), jnp.float32
-        )
-        null_cond_hidden = self.param(
-            "null_cond_hidden", nn.initializers.normal(1.0), (1, d), jnp.float32
-        )
-        km3 = keep_mask[:, None, None]
-        ct = jnp.where(km3, ct, null_cond_embed.astype(self.dtype))
-
-        pooled = jnp.mean(ct, axis=-2)
-        ch = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="non_attn_norm")(pooled)
-        ch = nn.Dense(d, dtype=self.dtype, name="non_attn_dense0")(ch)
-        ch = jax.nn.silu(ch)
-        cond_hidden = nn.Dense(d, dtype=self.dtype, name="non_attn_dense1")(ch)
-
         # timestep embedding (`model/model.py:454-465,601-612`)
         t_hidden = sinusoidal_pos_emb(times, d).astype(self.dtype)
         t_hidden = nn.Dense(d * 4, dtype=self.dtype, name="time_mlp")(t_hidden)
@@ -363,7 +385,6 @@ class DanceDecoder(nn.Module):
         t_tokens = nn.Dense(d * 2, dtype=self.dtype, name="to_time_tokens")(t_hidden)
         t_tokens = t_tokens.reshape(b, 2, d)
 
-        cond_hidden = jnp.where(keep_mask[:, None], cond_hidden, null_cond_hidden.astype(self.dtype))
         t = t + cond_hidden
 
         memory = jnp.concatenate([ct, t_tokens], axis=-2)

@@ -69,3 +69,28 @@ def test_sbimsa_deterministic_uses_same_math_as_training_path():
         rngs={"dropout": jax.random.key(1)},
     )
     np.testing.assert_allclose(np.asarray(det), np.asarray(trn), atol=2e-5)
+
+
+def test_cond_cache_matches_direct_forward():
+    """Hoisted cond encoding must be bit-identical to the inline path."""
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=8, latent_dim=32, ff_size=32, num_layers=1, num_heads=2,
+        dancer_num=2, head_dim=16,
+    )
+    model = DanceDecoder(cfg)
+    diff = GaussianDiffusion(model, DiffusionConfig(sampling_timesteps=2, n_timestep=10))
+    tokens = cfg.seq_len * cfg.dancer_num
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, tokens, cfg.nfeats)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(2, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)).astype(np.float32))
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = model.init(jax.random.key(0), x, cond, t)["params"]
+
+    direct = diff.guided(params, x, cond, t, 2.0)
+    cache = diff.encode_cond_cfg(params, cond)
+    cached = diff.guided(params, x, cond, t, 2.0, cond_cache=cache)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(cached), atol=1e-6)
