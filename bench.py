@@ -30,7 +30,64 @@ from tcdiff_tpu.diffusion import GaussianDiffusion
 from tcdiff_tpu.models import DanceDecoder
 
 
+def bench_train():
+    """BENCH_MODE=train: data-parallel train-step throughput on this host's
+    devices (falls back to a single-device mesh on the one TPU chip)."""
+    import numpy as np
+
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+    from tcdiff_tpu.optim import adan
+    from tcdiff_tpu.parallel import make_mesh, replicated, shard_batch
+    from tcdiff_tpu.train import create_train_state, make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    dancers = 3
+    cfg = DanceDecoderConfig(dancer_num=dancers)
+    model = DanceDecoder(cfg)
+    diff = GaussianDiffusion(model, DiffusionConfig())
+    tokens = cfg.seq_len * dancers
+    mesh = make_mesh()
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, tokens, cfg.nfeats)),
+        jnp.zeros((1, 301, cfg.cond_feature_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    tx = adan(5e-5, weight_decay=0.02)
+    state = jax.device_put(create_train_state(params, tx), replicated(mesh))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, dancers, cfg.seq_len, cfg.nfeats)).astype(np.float32) * 0.3)
+    cond = jnp.asarray(rng.normal(size=(batch, 301, cfg.cond_feature_dim)).astype(np.float32))
+    xs, cs = shard_batch((x, cond), mesh)
+    step = jax.jit(make_train_step(diff, tx), donate_argnums=0)
+    key = jax.device_put(jax.random.key(1), replicated(mesh))
+
+    state, m = step(state, xs, cs, key)
+    float(m["total"])  # sync
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, m = step(state, xs, cs, key)
+        float(m["total"])
+    dt = (time.perf_counter() - t0) / reps
+    print(
+        json.dumps(
+            {
+                "metric": f"train_steps/sec (batch {batch}, 3 dancers)",
+                "value": round(1.0 / dt, 3),
+                "unit": "steps/s",
+                "vs_baseline": round((1.0 / dt) / 1.0, 3),
+            }
+        )
+    )
+
+
 def main():
+    if os.environ.get("BENCH_MODE", "sample") == "train":
+        bench_train()
+        return
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     dancers = 3
     clip_seconds = 5.0
@@ -51,7 +108,9 @@ def main():
         jnp.zeros((1, 301, cfg.cond_feature_dim)),
         jnp.zeros((1,), jnp.int32),
     )["params"]
-    if compute_dtype == jnp.bfloat16 and os.environ.get("BENCH_CAST_PARAMS", "1") == "1":
+    # measured slightly SLOWER on v5e at batch 8 (90.4 vs 94.5 s-motion/s):
+    # sampling there is compute-, not weight-bandwidth-bound; off by default
+    if compute_dtype == jnp.bfloat16 and os.environ.get("BENCH_CAST_PARAMS", "0") == "1":
         # store weights in bf16 too: halves the HBM weight traffic that
         # dominates small-batch sampling (60M params x 50 steps)
         params = jax.tree.map(
