@@ -12,6 +12,16 @@ from tcdiff_tpu.train.orchestrator import TCDiff
 def main(argv=None):
     opt = parse_train_opt(argv)
     cfg = config_from_opt(opt)
+    from tcdiff_tpu.utils import increment_path, maybe_init_multihost
+
+    maybe_init_multihost()  # DCN multi-host when a coordinator is configured
+    if opt.mode == "train" and not opt.checkpoint:
+        # non-clobbering run dirs, like the reference's increment_path
+        import os
+
+        opt.exp_name = os.path.basename(
+            str(increment_path(os.path.join(opt.project, opt.exp_name)))
+        )
     runner = TCDiff(
         cfg,
         checkpoint_path=opt.checkpoint or None,
