@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dp", type=int, default=-1, help="data-parallel mesh size (-1 = all)")
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     parser.add_argument("--compute_dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="rematerialize decoder layers (fit bigger batches)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of the first epochs here")
@@ -94,6 +96,7 @@ def config_from_opt(opt) -> TCDiffConfig:
             dp=opt.dp,
             tp=opt.tp,
             compute_dtype=opt.compute_dtype,
+            remat=opt.remat,
         ),
         data=dataclasses.replace(
             cfg.data,

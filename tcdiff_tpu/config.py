@@ -78,6 +78,8 @@ class TrainConfig:
     tp: int = 1
     # compute dtype for the network forward ("float32" or "bfloat16")
     compute_dtype: str = "float32"
+    # rematerialize decoder layers in the backward pass (memory <- FLOPs)
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -281,6 +281,17 @@ class FiLMTransformerDecoderLayer(nn.Module):
         return x
 
 
+class _PositionalFiLMLayer(FiLMTransformerDecoderLayer):
+    """Adapter for nn.remat: `deterministic` as a static POSITIONAL arg
+    (jax.checkpoint cannot trace a python-bool kwarg)."""
+
+    @nn.compact
+    def __call__(self, x, memory, t, traj_emb, shared_emb, trj_dist, deterministic):  # noqa: D401
+        return super().__call__(
+            x, memory, t, traj_emb, shared_emb, trj_dist, deterministic=deterministic
+        )
+
+
 class DanceDecoder(nn.Module):
     """Full denoiser (`model/model.py:416-624`).
 
@@ -296,6 +307,7 @@ class DanceDecoder(nn.Module):
     cfg: DanceDecoderConfig
     use_traj_modulation: bool = False
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # rematerialize decoder layers (memory <- FLOPs)
 
     @nn.compact
     def __call__(
@@ -398,8 +410,14 @@ class DanceDecoder(nn.Module):
             jnp.float32,
         )
 
+        # remat: deterministic is arg 6 (after self-shift) and must be static
+        layer_cls = (
+            nn.remat(_PositionalFiLMLayer, static_argnums=(7,))
+            if self.remat
+            else FiLMTransformerDecoderLayer
+        )
         for i in range(cfg.num_layers):
-            h = FiLMTransformerDecoderLayer(
+            layer = layer_cls(
                 d,
                 cfg.num_heads,
                 cfg.ff_size,
@@ -407,7 +425,13 @@ class DanceDecoder(nn.Module):
                 self.use_traj_modulation,
                 self.dtype,
                 name=f"decoder_{i}",
-            )(h, memory, t, traj_emb, shared_emb, trj_dist, deterministic=deterministic)
+            )
+            if self.remat:
+                h = layer(h, memory, t, traj_emb, shared_emb, trj_dist, deterministic)
+            else:
+                h = layer(
+                    h, memory, t, traj_emb, shared_emb, trj_dist, deterministic=deterministic
+                )
 
         out = nn.Dense(cfg.nfeats, dtype=self.dtype, name="final_layer")(h)
         return out.astype(jnp.float32)

@@ -139,7 +139,7 @@ class TCDiff:
     ):
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
-        self.model = DanceDecoder(cfg.model, dtype=dtype)
+        self.model = DanceDecoder(cfg.model, dtype=dtype, remat=cfg.train.remat)
         self.diffusion = GaussianDiffusion(self.model, cfg.diffusion)
         self.tx = adan(
             cfg.train.learning_rate,

@@ -143,3 +143,40 @@ def test_synthetic_dataset_trains():
     total, parts = jax.jit(diff.loss)(params, jnp.asarray(poses), cond, jax.random.key(5))
     assert np.isfinite(float(total))
     assert set(parts) == {"recon", "velocity", "fk", "foot"}
+
+
+def test_remat_train_step_matches_no_remat():
+    """Remat changes memory, not math: same grads on the same params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=8, latent_dim=32, ff_size=32, num_layers=2, num_heads=2,
+        dancer_num=2, head_dim=16,
+    )
+    dcfg = DiffusionConfig(n_timestep=10)
+    tokens = cfg.seq_len * cfg.dancer_num
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, cfg.dancer_num, cfg.seq_len, cfg.nfeats)).astype(np.float32) * 0.3)
+    c = jnp.asarray(rng.normal(size=(2, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)).astype(np.float32))
+
+    grads = []
+    for remat in (False, True):
+        m = DanceDecoder(cfg, remat=remat)
+        diff = GaussianDiffusion(m, dcfg)
+        params = m.init(
+            jax.random.key(0), jnp.zeros((1, tokens, cfg.nfeats)),
+            jnp.zeros((1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+        g = jax.grad(lambda p: diff.loss(p, x, c, jax.random.key(1))[0])(params)
+        grads.append(g)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        grads[0], grads[1],
+    )
