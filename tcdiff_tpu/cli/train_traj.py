@@ -7,7 +7,6 @@ Mirrors `/root/reference/TrajDecoder/train_traj.py` +
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from tcdiff_tpu.config import TrajDecoderConfig
 

@@ -9,7 +9,7 @@ Here every knob lives in one dataclass tree; CLI flags map onto these fields.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

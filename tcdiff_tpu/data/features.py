@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from tcdiff_tpu.data import audio as A

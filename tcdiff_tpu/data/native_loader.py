@@ -14,7 +14,6 @@ falls back to synchronous numpy loading when no toolchain exists.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

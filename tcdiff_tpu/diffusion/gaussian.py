@@ -23,9 +23,7 @@ global XY trajectory that stays clamped to the DBN output during sampling
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

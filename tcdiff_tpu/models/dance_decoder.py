@@ -32,9 +32,6 @@ Params live in float32; activations can run in bfloat16 via `dtype`.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

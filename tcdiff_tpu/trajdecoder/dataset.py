@@ -12,7 +12,7 @@ from __future__ import annotations
 import glob
 import os
 import pickle
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import jax

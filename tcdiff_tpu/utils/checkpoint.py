@@ -17,9 +17,8 @@ bit-comparability runs on TPU with reference weights.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 import jax
