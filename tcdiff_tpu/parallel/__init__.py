@@ -4,5 +4,18 @@ from tcdiff_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from tcdiff_tpu.parallel.sharding_rules import (
+    params_pspecs,
+    shard_params,
+    shard_train_state,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "params_pspecs",
+    "shard_params",
+    "shard_train_state",
+]
