@@ -55,8 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--mode", default="train",
-        choices=["train", "val_without_TrajModel", "test", "eval"],
+        choices=["train", "val_without_TrajModel", "test", "eval", "generate"],
     )
+    parser.add_argument("--wav", type=str, default=None,
+                        help="input audio for --mode generate")
 
     # TPU-build extras
     parser.add_argument("--synthetic", action="store_true", default=False,

@@ -35,6 +35,11 @@ def main(argv=None):
         runner.test_loop(opt)
     elif opt.mode == "eval":
         runner.evaluate_loop(opt)
+    elif opt.mode == "generate":
+        assert opt.wav, "--mode generate needs --wav <file>"
+        if runner.normalizer is None:  # no checkpoint: synthetic stats
+            runner.normalizer = runner.load_datasets(opt)[0].normalizer
+        runner.generate(opt.wav, opt)
     return runner
 
 

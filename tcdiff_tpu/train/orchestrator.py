@@ -540,6 +540,74 @@ class TCDiff:
             )
             self.logger.info("[TEST-RENDER SAVED at Epoch %d]", epoch)
 
+    # ------------------------------------------------- wav -> dance serving
+    def generate(self, wav_path: str, opt) -> np.ndarray:
+        """Direct wav-to-choreography inference (`--mode generate`).
+
+        The full serving path with no dataset on disk: extract 438-d
+        features from the wav, slice them into 5 s windows at 2.5 s stride
+        (SURVEY §5 long-form scheme), roll the DBN trajectory over the whole
+        song from a default circle formation, then run the slice-coupled
+        long-form DDIM and stitch. Requires a trained checkpoint for good
+        output; runs end-to-end regardless.
+        """
+        from tcdiff_tpu.data.features import SR, wav_processing
+
+        assert self.normalizer is not None, "generate needs a checkpoint (normalizer)"
+        mcfg = self.cfg.model
+        tcfg = self.cfg.traj
+        seq = mcfg.seq_len
+        feats = wav_processing(wav_path)  # (F, 438) @ 60 FPS
+        win_f, stride_f = 2 * seq + 1, seq  # 301-frame windows, 2.5 s stride
+        starts = list(range(0, feats.shape[0] - win_f + 1, stride_f))
+        if not starts:
+            raise ValueError(f"{wav_path}: audio shorter than one 5 s window")
+        cond = np.stack([feats[s : s + win_f] for s in starts])  # (n, 301, 438)
+        n = len(starts)
+        dn = mcfg.dancer_num
+
+        # default formation: dancers on a circle, in NORMALIZED XY space
+        # (channels 4,5) like the DBN consumes in test mode (`TCDiff.py:533`)
+        angles = 2 * np.pi * np.arange(dn) / dn
+        world = np.stack([np.cos(angles), np.sin(angles)], -1) * 1.0  # (dn, 2)
+        scale = np.asarray(self.normalizer.scale)[4:6]
+        offset = np.asarray(self.normalizer.offset)[4:6]
+        seed_xy = np.clip(world * scale + offset, -1, 1).astype(np.float32)
+        seed = np.broadcast_to(
+            seed_xy[None, :, None, :], (1, dn, tcfg.window_size, 2)
+        ).copy()
+
+        traj_model = TrajDecoder(tcfg)
+        traj_params = self._load_traj_params(opt, traj_model)
+        traj = autoregressive_rollout(
+            traj_model, traj_params, jnp.asarray(seed), jnp.asarray(feats[None]),
+            tcfg.window_size, tcfg.step,
+        )
+        traj = kalman_smooth_batch(traj)[0]  # (dn, L, 2)
+
+        need = (n - 1) * (seq // 2) + seq  # motion frames covered by slices
+        if traj.shape[1] < need:
+            pad = jnp.repeat(traj[:, -1:], need - traj.shape[1], axis=1)
+            traj = jnp.concatenate([traj, pad], axis=1)
+        # per-slice trajectories at 2.5 s (= seq//2 motion frames) stride
+        x0 = []
+        for i in range(n):
+            lo = i * (seq // 2)
+            t = traj[:, lo : lo + seq]  # (dn, seq, 2)
+            xy = jnp.transpose(t, (1, 0, 2)).reshape(seq * dn, 2)
+            x0.append(jnp.concatenate([xy, jnp.zeros_like(xy[:, :1])], axis=-1))
+        x_0 = jnp.stack(x0)  # (n, seq*dn, 3)
+
+        samples = self._sample(cond, x_0, jax.random.key(self.cfg.train.seed), "long")
+        stem = os.path.splitext(os.path.basename(wav_path))[0]
+        return render_sample(
+            samples, self.normalizer, "gen",
+            os.path.join(getattr(opt, "render_dir", "renders"), "GEN_" + stem),
+            dn, fk_out=getattr(opt, "vis_fk_out", None),
+            name=[wav_path] * n, sound=False, mode="long",
+            render=getattr(opt, "render", True),
+        )
+
     def _load_traj_params(self, opt, traj_model: TrajDecoder):
         tcfg = self.cfg.traj
         init = traj_model.init(
