@@ -36,30 +36,34 @@ def _interpret() -> bool:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # matmuls run at the inputs' native dtype (bf16 inputs = full-rate MXU)
+    # with float32 accumulation; softmax stays in float32
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     logits = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q * jnp.asarray(scale, q.dtype), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     o_ref[0, 0] = jnp.dot(
         p, v, preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
 def _attn_bias_kernel(q_ref, k_ref, v_ref, table_ref, dist_ref, o_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     logits = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q * jnp.asarray(scale, q.dtype), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     # (lq, 10): q (UNSCALED, reference quirk) against every bucket embedding
     indexed = jax.lax.dot_general(
-        q, table_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        q, table_ref[0].astype(q.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dist = dist_ref[0]
@@ -67,7 +71,7 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, table_ref, dist_ref, o_ref, *, scale)
         logits = logits + jnp.where(dist == n, indexed[:, n : n + 1], 0.0)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
     o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
