@@ -1,0 +1,115 @@
+"""Property tests: invariances the pipeline must satisfy regardless of data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tcdiff_tpu.geometry import (
+    ax_from_6v,
+    ax_to_6v,
+    axis_angle_to_quaternion,
+    quat_apply,
+    quat_multiply,
+    quaternion_to_axis_angle,
+    smpl_fk,
+)
+
+
+def _rand_aa(shape, seed, scale=0.8):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=shape).astype(np.float32) * scale
+    )
+
+
+def test_fk_equivariant_under_global_rotation():
+    """Rotating the root joint and positions rotates ALL joint positions."""
+    dn, s = 2, 5
+    q = _rand_aa((dn, s, 24, 3), 0)
+    root = _rand_aa((dn, s, 3), 1)
+    base = smpl_fk(q, root)
+
+    g_aa = jnp.asarray([0.3, -0.5, 0.9])
+    g_quat = axis_angle_to_quaternion(g_aa)
+    # compose into the root joint + rotate root positions
+    q_rot = q.at[:, :, 0].set(
+        quaternion_to_axis_angle(
+            quat_multiply(g_quat, axis_angle_to_quaternion(q[:, :, 0]))
+        )
+    )
+    root_rot = quat_apply(g_quat, root)
+    rotated = smpl_fk(q_rot, root_rot)
+
+    expected = quat_apply(g_quat, base)
+    np.testing.assert_allclose(np.asarray(rotated), np.asarray(expected), atol=2e-5)
+
+
+def test_fk_translation_equivariance():
+    q = _rand_aa((1, 4, 24, 3), 2)
+    root = _rand_aa((1, 4, 3), 3)
+    t = jnp.asarray([1.5, -2.0, 0.25])
+    a = smpl_fk(q, root + t)
+    b = smpl_fk(q, root) + t
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_rot6d_roundtrip_many():
+    aa = _rand_aa((64, 3), 4, scale=1.5)
+    back = ax_from_6v(ax_to_6v(aa))
+    # same rotation (possibly different axis-angle sign for angle ~ pi)
+    qa = axis_angle_to_quaternion(aa)
+    qb = axis_angle_to_quaternion(back)
+    dot = jnp.abs(jnp.sum(qa * qb, axis=-1))
+    np.testing.assert_allclose(np.asarray(dot), 1.0, atol=1e-5)
+
+
+def test_sampler_deterministic_under_fixed_key():
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=8, latent_dim=32, ff_size=32, num_layers=1, num_heads=2,
+        dancer_num=2, head_dim=16,
+    )
+    model = DanceDecoder(cfg)
+    diff = GaussianDiffusion(model, DiffusionConfig(sampling_timesteps=2, n_timestep=10))
+    tokens = cfg.seq_len * cfg.dancer_num
+    shape = (2, tokens, cfg.nfeats)
+    cond = _rand_aa((2, 2 * cfg.seq_len + 1, cfg.cond_feature_dim), 5, 1.0)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, tokens, cfg.nfeats)),
+        jnp.zeros((1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    a = diff.ddim_sample(params, shape, cond, jax.random.key(7))
+    b = diff.ddim_sample(params, shape, cond, jax.random.key(7))
+    c = diff.ddim_sample(params, shape, cond, jax.random.key(8))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-3
+
+
+def test_trajectory_clamp_invariant():
+    """The sampler's output must carry the imposed trajectory EXACTLY."""
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=8, latent_dim=32, ff_size=32, num_layers=1, num_heads=2,
+        dancer_num=2, head_dim=16,
+    )
+    model = DanceDecoder(cfg)
+    diff = GaussianDiffusion(model, DiffusionConfig(sampling_timesteps=2, n_timestep=10))
+    tokens = cfg.seq_len * cfg.dancer_num
+    cond = _rand_aa((1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim), 6, 1.0)
+    x0 = _rand_aa((1, tokens, 3), 7, 0.5)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, tokens, cfg.nfeats)),
+        jnp.zeros((1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    out = diff.ddim_sample(params, (1, tokens, cfg.nfeats), cond, jax.random.key(1), x_0=x0)
+    np.testing.assert_allclose(
+        np.asarray(out[..., 4:6]), np.asarray(x0[..., :2]), atol=1e-6
+    )
