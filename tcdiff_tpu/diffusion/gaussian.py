@@ -363,6 +363,43 @@ class GaussianDiffusion:
             params, cond, x, k_scan, weights, x_0, step_noise, long_mode=True
         )
 
+    def long_ddim_sample_sharded(
+        self, params, shape, cond, rng, mesh, x_0=None, noise=None
+    ):
+        """Long-form DDIM with the SLICE batch sharded over the mesh's dp
+        axis — the sequence-parallel scaling path (SURVEY §2.4/§5): each
+        chip denoises its slices, and the in-loop half-window coupling
+        between neighboring slices (`model/diffusion.py:502-506`) becomes a
+        collective-permute over ICI, inserted by XLA's SPMD partitioner from
+        the very same batch-shift the single-chip path uses.
+
+        Bit-identical to `long_ddim_sample` when `noise` is provided
+        (otherwise the PRNG stream is identical too — keys are replicated).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sliced = NamedSharding(mesh, P("dp"))
+        rep = NamedSharding(mesh, P())
+
+        cond = jax.device_put(jnp.asarray(cond), sliced)
+        put_rep = lambda t: jax.tree.map(lambda a: jax.device_put(a, rep), t)
+        params = put_rep(params)
+        rng = jax.device_put(rng, rep)
+        if x_0 is not None:
+            x_0 = jax.device_put(jnp.asarray(x_0), sliced)
+        if noise is not None:
+            noise = {
+                "init": jax.device_put(jnp.asarray(noise["init"]), sliced),
+                # steps: (S, n_slices, ...) — slice axis is dim 1
+                "steps": jax.device_put(
+                    jnp.asarray(noise["steps"]), NamedSharding(mesh, P(None, "dp"))
+                ),
+            }
+        fn = jax.jit(
+            self.long_ddim_sample, static_argnums=(1,), out_shardings=sliced
+        )
+        return fn(params, shape, cond, rng, x_0, noise)
+
     def ddim_sample_footwork(self, params, shape, cond, rng, x_0, noise=None):
         """Footwork-adaptor DDIM: leg-chain rot6d channels of frames 75-120
         are driven by a reference motion with blend-in/out
