@@ -119,6 +119,18 @@ def slice_aioz(motion_dir: str, wav_dir: str, stride: float = 0.5, length: float
         slice_aioz_motion(motion, stride, length, n_audio, motion_out)
 
 
+def slice_audio_folder(wav_dir: str, stride: float = 0.5, length: float = 5.0) -> None:
+    """Slice a folder of wavs WITHOUT paired motions — for out-of-dataset
+    music (`slice.py:120-? slice_audio_folder`); feeds test/generate modes."""
+    out = wav_dir + "_sliced"
+    os.makedirs(out, exist_ok=True)
+    for wav in sorted(glob.glob(f"{wav_dir}/*.wav")):
+        name = os.path.splitext(os.path.basename(wav))[0]
+        if os.path.exists(f"{out}/{name}_slice0.wav"):
+            continue
+        slice_audio(wav, stride, length, out)
+
+
 def generate_dancer_split(
     motion_dir: str, save_path: str, required_dancer_num: int
 ) -> str:

@@ -111,3 +111,16 @@ def test_slice_audio_counts(tmp_path):
     save_wav(str(tmp_path / "a.wav"), wav, SR)
     n = slice_audio(str(tmp_path / "a.wav"), 0.5, 5.0, str(tmp_path))
     assert n == 5  # starts at 0, 0.5, ..., 2.0
+
+
+def test_slice_audio_folder(tmp_path):
+    from tcdiff_tpu.data.create_dataset import slice_audio_folder
+
+    wav_dir = tmp_path / "ood"
+    wav_dir.mkdir()
+    save_wav(str(wav_dir / "song.wav"), np.zeros(int(6.0 * SR), np.float32), SR)
+    slice_audio_folder(str(wav_dir))
+    out = sorted(glob.glob(str(tmp_path / "ood_sliced" / "*.wav")))
+    assert len(out) == 3  # 6 s -> starts 0, 0.5, 1.0
+    slice_audio_folder(str(wav_dir))  # idempotent
+    assert len(glob.glob(str(tmp_path / "ood_sliced" / "*.wav"))) == 3
