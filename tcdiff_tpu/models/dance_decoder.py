@@ -41,6 +41,15 @@ from tcdiff_tpu.config import DanceDecoderConfig
 from tcdiff_tpu.models.rotary import apply_rotary, rotary_freqs
 
 
+def _pallas_disabled() -> bool:
+    """A/B escape hatch: TCDIFF_DISABLE_PALLAS=1 routes deterministic
+    attention through the XLA einsum path (dropout off) instead of the
+    fused kernel."""
+    import os
+
+    return os.environ.get("TCDIFF_DISABLE_PALLAS", "0") == "1"
+
+
 def mish(x):
     return x * jnp.tanh(jax.nn.softplus(x))
 
@@ -115,7 +124,7 @@ class SBIMSA(nn.Module):
         v = v.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
 
         scale = float(1.0 / np.sqrt(dk))
-        if deterministic:
+        if deterministic and not _pallas_disabled():
             # inference: one fused Pallas program per (batch, head) — no
             # dropout on attention weights, no autodiff needed
             from tcdiff_tpu.ops import fused_attention
@@ -168,7 +177,7 @@ class TorchMHA(nn.Module):
         k = k.reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
         scale = float(1.0 / np.sqrt(dh))
-        if deterministic:
+        if deterministic and not _pallas_disabled():
             from tcdiff_tpu.ops import fused_attention
 
             out = fused_attention(q, k, v, scale)
