@@ -630,8 +630,13 @@ class TCDiff:
             }
             loaded = traj_decoder_params_from_torch(sd, trans_layer=tcfg.trans_layer)
             return jax.tree.map(jnp.asarray, loaded)
-        from tcdiff_tpu.utils import load_checkpoint
+        from tcdiff_tpu.utils import latest_checkpoint, load_checkpoint
 
+        if os.path.isdir(path) and not os.path.basename(path).startswith("ckpt_"):
+            found = latest_checkpoint(path)
+            if found is None:
+                raise FileNotFoundError(f"no ckpt_* under {path}")
+            path = found
         restored = load_checkpoint(path)
         from flax import serialization
 

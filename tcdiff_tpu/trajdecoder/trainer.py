@@ -139,6 +139,11 @@ class TrajTrainer:
         cfg = self.cfg
         total = total_iter if total_iter is not None else cfg.total_iter
         bs = batch_size or cfg.batch_size
+        if bs > len(train_ds):  # drop_last batching would yield nothing
+            self.logger.warning(
+                "batch %d > dataset %d; clamping", bs, len(train_ds)
+            )
+            bs = len(train_ds)
         out = Path(out_dir)
         metrics = MetricLogger(str(out), config={"lr": cfg.lr, "batch": bs})
         base_rng = jax.device_put(jax.random.key(cfg.seed), replicated(self.mesh))
