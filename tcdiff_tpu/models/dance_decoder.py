@@ -41,13 +41,16 @@ from tcdiff_tpu.config import DanceDecoderConfig
 from tcdiff_tpu.models.rotary import apply_rotary, rotary_freqs
 
 
-def _pallas_disabled() -> bool:
-    """A/B escape hatch: TCDIFF_DISABLE_PALLAS=1 routes deterministic
-    attention through the XLA einsum path (dropout off) instead of the
-    fused kernel."""
+def _use_pallas_attention() -> bool:
+    """Measured on TPU v5e (BENCH_NOTES.md): at these shapes (tokens<=1500,
+    dk=64) XLA's batched attention outperforms the per-(batch, head) Pallas
+    grid by ~23% — the kernel's 64-wide matmuls under-fill the MXU and the
+    fine grid adds launch overhead. The XLA path is therefore the default;
+    set TCDIFF_PALLAS_ATTENTION=1 to route deterministic attention through
+    the fused kernel (tested bit-compatible)."""
     import os
 
-    return os.environ.get("TCDIFF_DISABLE_PALLAS", "0") == "1"
+    return os.environ.get("TCDIFF_PALLAS_ATTENTION", "0") == "1"
 
 
 def mish(x):
@@ -124,7 +127,7 @@ class SBIMSA(nn.Module):
         v = v.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
 
         scale = float(1.0 / np.sqrt(dk))
-        if deterministic and not _pallas_disabled():
+        if deterministic and _use_pallas_attention():
             # inference: one fused Pallas program per (batch, head) — no
             # dropout on attention weights, no autodiff needed
             from tcdiff_tpu.ops import fused_attention
@@ -177,7 +180,7 @@ class TorchMHA(nn.Module):
         k = k.reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
         scale = float(1.0 / np.sqrt(dh))
-        if deterministic and not _pallas_disabled():
+        if deterministic and _use_pallas_attention():
             from tcdiff_tpu.ops import fused_attention
 
             out = fused_attention(q, k, v, scale)
