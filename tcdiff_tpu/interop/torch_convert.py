@@ -178,3 +178,100 @@ def traj_decoder_params_from_torch(state_dict: Mapping, trans_layer: int = 6) ->
             "mlp2": _dense(sd, pre + ".mlp.2"),
         }
     return p
+
+
+# --------------------------------------------------------------- reverse map
+def _w(kernel) -> np.ndarray:
+    """flax kernel (in, out) -> torch Linear weight (out, in)."""
+    return np.ascontiguousarray(np.asarray(kernel).T)
+
+
+def _dense_out(sd: Dict, prefix: str, p: Mapping) -> None:
+    sd[prefix + ".weight"] = _w(p["kernel"])
+    if "bias" in p:
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _ln_out(sd: Dict, prefix: str, p: Mapping) -> None:
+    sd[prefix + ".weight"] = np.asarray(p["scale"])
+    sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+
+def _mha_out(sd: Dict, prefix: str, p: Mapping) -> None:
+    sd[prefix + ".in_proj_weight"] = np.concatenate(
+        [_w(p["q_proj"]["kernel"]), _w(p["k_proj"]["kernel"]), _w(p["v_proj"]["kernel"])]
+    )
+    sd[prefix + ".in_proj_bias"] = np.concatenate(
+        [np.asarray(p["q_proj"]["bias"]), np.asarray(p["k_proj"]["bias"]),
+         np.asarray(p["v_proj"]["bias"])]
+    )
+    _dense_out(sd, prefix + ".out_proj", p["out_proj"])
+
+
+def _sbi_out(sd: Dict, prefix: str, p: Mapping) -> None:
+    for name in ("w_qs", "w_ks", "w_vs", "fc"):
+        _dense_out(sd, f"{prefix}.{name}", p[name])
+    _ln_out(sd, prefix + ".layer_norm", p["layer_norm"])
+
+
+def _rotary_freqs(dim: int) -> np.ndarray:
+    """The reference RotaryEmbedding's deterministic freqs buffer
+    (`model/rotary_embedding_torch.py:75-90`); our flax tree computes these
+    on the fly, so the reverse converter re-emits them."""
+    # compute in float32 throughout to match torch's buffer bit-for-bit
+    exponent = np.arange(0, dim, 2, dtype=np.float32) / np.float32(dim)
+    return (np.float32(1.0) / np.float32(10000.0) ** exponent).astype(np.float32)
+
+
+def dance_decoder_params_to_torch(
+    params: Mapping, num_layers: int = 8, latent_dim: int = 512
+) -> Dict:
+    """Inverse of `dance_decoder_params_from_torch`: our flax param tree ->
+    a reference-format state dict (numpy values), so TPU-trained weights run
+    in the PyTorch reference (`model/model.py:416-540` layout)."""
+    sd: Dict = {"rotary.freqs": _rotary_freqs(latent_dim)}
+    _dense_out(sd, "input_projection", params["input_projection"])
+    _dense_out(sd, "final_layer", params["final_layer"])
+    _dense_out(sd, "traj_embedding.0", params["traj_embedding_0"])
+    _dense_out(sd, "traj_embedding.2", params["traj_embedding_1"])
+    for i, src in enumerate(("relative_projection_0", "relative_projection_1", "relative_projection_2")):
+        _dense_out(sd, f"relative_projection_layer.{2 * i}", params[src])
+    _dense_out(sd, "cond_projection.0", params["cond_projection_0"])
+    _dense_out(sd, "cond_projection.2", params["cond_projection_1"])
+    _ln_out(sd, "non_attn_cond_projection.0", params["non_attn_norm"])
+    _dense_out(sd, "non_attn_cond_projection.1", params["non_attn_dense0"])
+    _dense_out(sd, "non_attn_cond_projection.3", params["non_attn_dense1"])
+    _dense_out(sd, "time_mlp.1", params["time_mlp"])
+    _dense_out(sd, "to_time_cond.0", params["to_time_cond"])
+    _dense_out(sd, "to_time_tokens.0", params["to_time_tokens"])
+    _ln_out(sd, "norm_cond", params["norm_cond"])
+    sd["null_cond_embed"] = np.asarray(params["null_cond_embed"])
+    sd["null_cond_hidden"] = np.asarray(params["null_cond_hidden"])
+    sd["embeddings_table.weight"] = np.asarray(params["embeddings_table"])
+    for i in range(2):
+        enc = params[f"cond_encoder_{i}"]
+        pre = f"cond_encoder.{i}"
+        sd[pre + ".rotary.freqs"] = _rotary_freqs(latent_dim)
+        _mha_out(sd, pre + ".self_attn", enc["self_attn"])
+        _dense_out(sd, pre + ".linear1", enc["linear1"])
+        _dense_out(sd, pre + ".linear2", enc["linear2"])
+        _ln_out(sd, pre + ".norm1", enc["norm1"])
+        _ln_out(sd, pre + ".norm2", enc["norm2"])
+    for i in range(num_layers):
+        dec = params[f"decoder_{i}"]
+        pre = f"seqTransDecoder.stack.{i}"
+        sd[pre + ".rotary.freqs"] = _rotary_freqs(latent_dim)
+        _sbi_out(sd, pre + ".self_attn", dec["self_attn"])
+        _sbi_out(sd, pre + ".multihead_attn", dec["multihead_attn"])
+        for name in ("linear1", "linear2", "linear3"):
+            _dense_out(sd, f"{pre}.{name}", dec[name])
+        for name in ("norm1", "norm2", "norm3", "norm4"):
+            _ln_out(sd, f"{pre}.{name}", dec[name])
+        for j in (1, 2, 3):
+            _dense_out(sd, f"{pre}.film{j}.block.1", dec[f"film{j}"]["block"])
+        for j in range(3):
+            cs = dec[f"traj_mod{j}"]
+            _dense_out(sd, f"{pre}.traj_Modulation.{j}._layer", cs["layer"])
+            _dense_out(sd, f"{pre}.traj_Modulation.{j}._hyper_bias", cs["hyper_bias"])
+            _dense_out(sd, f"{pre}.traj_Modulation.{j}._hyper_gate", cs["hyper_gate"])
+    return sd

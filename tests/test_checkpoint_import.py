@@ -78,3 +78,33 @@ def test_pt_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(
             np.asarray(norm.normalize(jnp.asarray(probe))), ref_n, atol=1e-5
         )
+
+
+def test_reverse_converter_roundtrip():
+    """torch -> flax -> torch is the identity, and the reference net loads
+    the reconstructed state dict strictly and computes the same outputs."""
+    from tcdiff_tpu.interop import (
+        dance_decoder_params_from_torch,
+        dance_decoder_params_to_torch,
+    )
+
+    tm = _torch_model(5)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = dance_decoder_params_from_torch(sd, CFG.num_layers, CFG.latent_dim)
+    back = dance_decoder_params_to_torch(params, CFG.num_layers)
+
+    assert set(back.keys()) == set(sd.keys())
+    for k in sd:
+        if k.endswith("rotary.freqs"):  # recomputed constant: 1-ulp pow diff
+            np.testing.assert_allclose(back[k], sd[k], rtol=1e-6, err_msg=k)
+        else:
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    # strict load into a fresh reference net + identical forward
+    tm2 = _torch_model(6)
+    tm2.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in back.items()}, strict=True)
+    x, cond, t = _inputs(seed=8)
+    with torch.no_grad():
+        a = tm(torch.from_numpy(x), torch.from_numpy(cond), torch.from_numpy(t), cond_drop_prob=0.0)
+        b = tm2(torch.from_numpy(x), torch.from_numpy(cond), torch.from_numpy(t), cond_drop_prob=0.0)
+    np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-6)
