@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <mutex>
 #include <queue>
 #include <string>
@@ -119,10 +120,12 @@ struct Prefetcher {
   std::mutex mu;
   std::condition_variable cv_job, cv_done;
   std::queue<Job> jobs;
-  std::queue<Batch*> done;
+  // completion can happen out of order; delivery must follow submit order
+  std::map<int64_t, Batch*> done;
   std::vector<std::thread> threads;
   bool stopping = false;
   int64_t next_id = 0;
+  int64_t next_pop = 0;
 
   Prefetcher(std::vector<std::string> files_, int64_t elems, int threads_)
       : files(std::move(files_)), elems_per_item(elems), n_threads(threads_) {
@@ -139,10 +142,8 @@ struct Prefetcher {
     cv_job.notify_all();
     for (auto& t : threads) t.join();
     std::lock_guard<std::mutex> lk(mu);
-    while (!done.empty()) {
-      delete done.front();
-      done.pop();
-    }
+    for (auto& kv : done) delete kv.second;
+    done.clear();
   }
 
   void worker() {
@@ -160,7 +161,7 @@ struct Prefetcher {
       if (!ok) job.batch->ok = false;
       if (job.batch->remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> lk(mu);
-        done.push(job.batch);
+        done.emplace(job.batch->id, job.batch);
         cv_done.notify_all();
       }
     }
@@ -178,14 +179,15 @@ struct Prefetcher {
     return batch->id;
   }
 
-  // pops the oldest finished batch; returns its id, or -1 on failure
+  // pops batches strictly in SUBMIT order; returns the id, or -1 on failure
   int64_t next(float* out, int64_t out_elems) {
     Batch* b;
     {
       std::unique_lock<std::mutex> lk(mu);
-      cv_done.wait(lk, [this] { return !done.empty(); });
-      b = done.front();
-      done.pop();
+      const int64_t want = next_pop++;
+      cv_done.wait(lk, [this, want] { return done.count(want) > 0; });
+      b = done[want];
+      done.erase(want);
     }
     int64_t id = b->ok ? b->id : -1;
     int64_t n = std::min<int64_t>(out_elems, b->data.size());

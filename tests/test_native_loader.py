@@ -85,3 +85,16 @@ def test_prefetching_batches_iterator(tmp_path):
     np.testing.assert_array_equal(out[2]["cond"], np.stack(arrays[4:6]))
     assert out[1]["filename"] == files[2:4]
     np.testing.assert_array_equal(out[1]["x"], ds.poses[[2, 3]])
+
+
+def test_prefetcher_order_under_contention(tmp_path):
+    """Delivery must follow submit order even when completion is reordered:
+    many single-item batches with a large thread pool."""
+    files, arrays = _write_files(tmp_path, n=24, shape=(64, 32))
+    pf = NativePrefetcher(files, (64, 32), n_threads=12)
+    for i in range(24):
+        pf.submit([i])
+    for i in range(24):
+        out = pf.next()
+        np.testing.assert_array_equal(out[0], arrays[i], err_msg=str(i))
+    pf.close()
