@@ -50,7 +50,14 @@ def _use_pallas_attention() -> bool:
     the fused kernel (tested bit-compatible)."""
     import os
 
-    return os.environ.get("TCDIFF_PALLAS_ATTENTION", "0") == "1"
+    return os.environ.get("TCDIFF_PALLAS_ATTENTION", "0") != "0"
+
+
+def _pallas_coarse() -> bool:
+    """TCDIFF_PALLAS_ATTENTION=2 selects the grid=(b,) all-heads variant."""
+    import os
+
+    return os.environ.get("TCDIFF_PALLAS_ATTENTION", "0") == "2"
 
 
 def mish(x):
@@ -137,7 +144,12 @@ class SBIMSA(nn.Module):
             if trj_dist is not None:
                 table = shared_emb.reshape(10, h, dk).transpose(1, 0, 2)
                 dist = trj_dist.astype(jnp.int32)
-            out = fused_attention(q, k, v, scale, table, dist)
+            if dist is None and _pallas_coarse():
+                from tcdiff_tpu.ops.fused_attention import fused_attention_batched
+
+                out = fused_attention_batched(q, k, v, scale)
+            else:
+                out = fused_attention(q, k, v, scale, table, dist)
         else:
             logits = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k)
             if trj_dist is not None:
@@ -181,9 +193,14 @@ class TorchMHA(nn.Module):
         v = v.reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
         scale = float(1.0 / np.sqrt(dh))
         if deterministic and _use_pallas_attention():
-            from tcdiff_tpu.ops import fused_attention
+            if _pallas_coarse():
+                from tcdiff_tpu.ops.fused_attention import fused_attention_batched
 
-            out = fused_attention(q, k, v, scale)
+                out = fused_attention_batched(q, k, v, scale)
+            else:
+                from tcdiff_tpu.ops import fused_attention
+
+                out = fused_attention(q, k, v, scale)
         else:
             logits = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k)
             attn = jax.nn.softmax(logits, axis=-1)

@@ -75,6 +75,49 @@ def _attn_bias_kernel(q_ref, k_ref, v_ref, table_ref, dist_ref, o_ref, *, scale)
     o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _attn_kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Coarse-grid variant: one program per BATCH element, heads batched
+    inside (b*h tiny programs under-utilize the scalar core; see
+    BENCH_NOTES.md)."""
+    q = q_ref[0]  # (h, lq, dk)
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q * jnp.asarray(scale, q.dtype), k,
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+    )  # (h, lq, lk)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def fused_attention_batched(q, k, v, scale):
+    """Grid=(b,) all-heads-per-program variant (no TRPE bias)."""
+    b, h, lq, dk = q.shape
+    lk = k.shape[2]
+    dv = v.shape[3]
+
+    def ix(i):
+        return (i, 0, 0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_allheads, scale=scale),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, lq, dk), ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, lk, dk), ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, lk, dv), ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, lq, dv), ix, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq, dv), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def fused_attention(
     q: jnp.ndarray,

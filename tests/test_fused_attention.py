@@ -94,3 +94,14 @@ def test_cond_cache_matches_direct_forward():
     cache = diff.encode_cond_cfg(params, cond)
     cached = diff.guided(params, x, cond, t, 2.0, cond_cache=cache)
     np.testing.assert_allclose(np.asarray(direct), np.asarray(cached), atol=1e-6)
+
+
+def test_fused_attention_batched_matches_einsum():
+    from tcdiff_tpu.ops.fused_attention import fused_attention_batched
+
+    b, h, lq, lk, dk = 2, 4, 30, 30, 16
+    q, k, v = _rand((b, h, lq, dk), 20), _rand((b, h, lk, dk), 21), _rand((b, h, lk, dk), 22)
+    scale = 1.0 / np.sqrt(dk)
+    out = fused_attention_batched(q, k, v, scale)
+    ref = _ref_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
