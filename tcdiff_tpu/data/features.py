@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
+from typing import Optional
 import numpy as np
 
 from tcdiff_tpu.data import audio as A
@@ -69,14 +70,24 @@ def wav_processing(wav_path: str, save_npy: bool = False) -> np.ndarray:
     return feat
 
 
+def _extract_one(args) -> str:
+    src_wav, feat_npy = args
+    np.save(feat_npy, wav_processing(src_wav))
+    return feat_npy
+
+
 def processing_music_list(
-    music_data_path: str, root_path: str, folder_state: str, verbose: bool = True
+    music_data_path: str, root_path: str, folder_state: str,
+    verbose: bool = True, workers: Optional[int] = None,
 ) -> None:
     """Batch-extract feats438 .npy files for every wav in a directory
-    (`dataset_utils.py:12-43`)."""
+    (`dataset_utils.py:12-43`). Extraction fans out over a process pool —
+    the reference runs its librosa chain serially per wav; DSP here is
+    numpy/scipy and embarrassingly parallel across files."""
     feats_path = Path(root_path) / folder_state / "feats438"
     feats_path.mkdir(parents=True, exist_ok=True)
 
+    todo = []
     names = sorted({os.path.splitext(f)[0] for f in os.listdir(music_data_path)})
     for name in names:
         feat_npy = feats_path / f"{name}.npy"
@@ -87,6 +98,21 @@ def processing_music_list(
         if src_npy.exists():  # precomputed features ride through unchanged
             np.save(feat_npy, np.load(src_npy))
         elif src_wav.exists():
+            todo.append((str(src_wav), str(feat_npy)))
+
+    if not todo:
+        return
+    if workers is None:
+        workers = min(len(todo), max(1, (os.cpu_count() or 4) * 3 // 4))
+    if workers <= 1 or len(todo) == 1:
+        for args in todo:
             if verbose:
-                print(f"feats438 <- {src_wav}")
-            np.save(feat_npy, wav_processing(str(src_wav)))
+                print(f"feats438 <- {args[0]}")
+            _extract_one(args)
+        return
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(workers) as pool:
+        for done in pool.imap_unordered(_extract_one, todo):
+            if verbose:
+                print(f"feats438 -> {done}")
