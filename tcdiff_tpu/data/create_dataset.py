@@ -163,7 +163,8 @@ def create_dataset(opt) -> None:
         )
         print(f"Extracting {split} features")
         processing_music_list(
-            os.path.join(opt.root_path, split, "wavs_sliced"), opt.root_path, split
+            os.path.join(opt.root_path, split, "wavs_sliced"), opt.root_path, split,
+            workers=getattr(opt, "workers", None),
         )
 
 
@@ -173,6 +174,8 @@ def parse_opt(argv=None):
     p.add_argument("--length", type=float, default=5.0)
     p.add_argument("--dataset_folder", type=str, default="./AIOZ_Dataset")
     p.add_argument("--root-path", dest="root_path", type=str, default="./AIOZ_Dataset")
+    p.add_argument("--workers", type=int, default=None,
+                   help="feature-extraction processes (default: 3/4 of CPUs)")
     return p.parse_args(argv)
 
 
