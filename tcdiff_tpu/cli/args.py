@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--wav", type=str, default=None,
                         help="input audio for --mode generate")
+    parser.add_argument("--streaming", action="store_true", default=False,
+                        help="generate causally slice-by-slice (low latency)")
 
     # TPU-build extras
     parser.add_argument("--synthetic", action="store_true", default=False,

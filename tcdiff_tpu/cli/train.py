@@ -39,7 +39,10 @@ def main(argv=None):
         assert opt.wav, "--mode generate needs --wav <file>"
         if runner.normalizer is None:  # no checkpoint: synthetic stats
             runner.normalizer = runner.load_datasets(opt)[0].normalizer
-        runner.generate(opt.wav, opt)
+        if opt.streaming:
+            runner.generate_streaming(opt.wav, opt)
+        else:
+            runner.generate(opt.wav, opt)
     return runner
 
 

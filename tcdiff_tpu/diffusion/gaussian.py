@@ -211,6 +211,7 @@ class GaussianDiffusion:
         footwork: bool = False,
         long_mode: bool = False,
         trj_dist=None,
+        stream_prev=None,
     ):
         """Shared DDIM machinery for ddim / long / footwork variants."""
         cfg = self.cfg
@@ -323,6 +324,22 @@ class GaussianDiffusion:
                 # time_next >= 0 as well as time > 0
                 coupled = half_copy(x_new)
                 x_new = jnp.where((time > 0) & (time_next >= 0), coupled, x_new)
+            if stream_prev is not None:
+                # causal streaming: the first half-window is INPAINTED from
+                # the previous (fully denoised) slice's tail, re-noised to
+                # the current level (RePaint-style q_sample conditioning)
+                c = x_new.shape[-1]
+                x4 = x_new.reshape(b, seq_len, -1, c)
+                prev4 = stream_prev.reshape(b, half, -1, c)
+                key, sub = jax.random.split(key)
+                pn = jax.random.normal(sub, prev4.shape, prev4.dtype)
+                tn = jnp.maximum(time_next, 0)
+                a_t = jnp.sqrt(ac[tn])
+                s_t = jnp.sqrt(1.0 - ac[tn])
+                prev_noised = a_t * prev4 + s_t * pn
+                prev_t = jnp.where(time_next > 0, prev_noised, prev4)
+                x4 = x4.at[:, :half].set(prev_t)
+                x_new = x4.reshape(x_new.shape)
 
             return (x_new, key), None
 
@@ -361,6 +378,27 @@ class GaussianDiffusion:
         ).astype(np.float32)
         return self._ddim_scan(
             params, cond, x, k_scan, weights, x_0, step_noise, long_mode=True
+        )
+
+    def ddim_sample_stream(
+        self, params, shape, cond, rng, x_0=None, prev_tail=None, noise=None
+    ):
+        """Causal single-slice DDIM for streaming generation: the slice's
+        first half-window is inpainted from `prev_tail` — the previous
+        slice's (already generated) second half, re-noised to each step's
+        level — so consecutive slices agree without denoising them jointly.
+
+        A latency-oriented capability beyond the reference: `long_ddim`
+        needs the WHOLE song's slices in one batch, this needs one slice.
+        prev_tail: (b, (seq_len//2)*dn, nfeats) or None for the first slice.
+        """
+        k_init, k_scan = jax.random.split(rng)
+        x = jax.random.normal(k_init, shape) if noise is None else jnp.asarray(noise["init"])
+        step_noise = None if noise is None else jnp.asarray(noise["steps"])
+        weights = np.full(self.cfg.sampling_timesteps, self.cfg.guidance_weight, np.float32)
+        return self._ddim_scan(
+            params, cond, x, k_scan, weights, x_0, step_noise,
+            stream_prev=None if prev_tail is None else jnp.asarray(prev_tail),
         )
 
     def long_ddim_sample_sharded(

@@ -608,6 +608,73 @@ class TCDiff:
             render=getattr(opt, "render", True),
         )
 
+    def generate_streaming(self, wav_path: str, opt) -> np.ndarray:
+        """Low-latency wav-to-dance: slices are generated CAUSALLY, one at a
+        time, each inpainting its first half-window from the previous
+        slice's tail (`ddim_sample_stream`). First motion appears after one
+        slice instead of after the whole song; memory is O(1) in song
+        length. Returns the assembled (dn, L, 151-ch) normalized motion and
+        renders/exports like `generate`."""
+        from tcdiff_tpu.data.features import wav_processing
+
+        assert self.normalizer is not None, "needs a checkpoint (normalizer)"
+        mcfg = self.cfg.model
+        tcfg = self.cfg.traj
+        seq, dn = mcfg.seq_len, mcfg.dancer_num
+        half = seq // 2
+        feats = wav_processing(wav_path)
+        win_f, stride_f = 2 * seq + 1, seq
+        starts = list(range(0, feats.shape[0] - win_f + 1, stride_f))
+        if not starts:
+            raise ValueError(f"{wav_path}: audio shorter than one 5 s window")
+
+        # trajectory for the whole song, as in generate()
+        angles = 2 * np.pi * np.arange(dn) / dn
+        world = np.stack([np.cos(angles), np.sin(angles)], -1)
+        scale = np.asarray(self.normalizer.scale)[4:6]
+        offset = np.asarray(self.normalizer.offset)[4:6]
+        seed_xy = np.clip(world * scale + offset, -1, 1).astype(np.float32)
+        seed = np.broadcast_to(seed_xy[None, :, None, :], (1, dn, tcfg.window_size, 2)).copy()
+        traj_model = TrajDecoder(tcfg)
+        traj_params = self._load_traj_params(opt, traj_model)
+        traj = autoregressive_rollout(
+            traj_model, traj_params, jnp.asarray(seed), jnp.asarray(feats[None]),
+            tcfg.window_size, tcfg.step,
+        )
+        traj = kalman_smooth_batch(traj)[0]
+        need = (len(starts) - 1) * half + seq
+        if traj.shape[1] < need:
+            pad = jnp.repeat(traj[:, -1:], need - traj.shape[1], axis=1)
+            traj = jnp.concatenate([traj, pad], axis=1)
+
+        shape = (1, seq * dn, mcfg.nfeats)
+        stream_fn = jax.jit(self.diffusion.ddim_sample_stream, static_argnums=(1,))
+        params = self.eval_params()
+        pieces = []
+        prev_tail = None
+        for i, s in enumerate(starts):
+            t = traj[:, i * half : i * half + seq]  # (dn, seq, 2)
+            xy = jnp.transpose(t, (1, 0, 2)).reshape(1, seq * dn, 2)
+            x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+            cond = jnp.asarray(feats[s : s + win_f][None])
+            sample = stream_fn(
+                params, shape, cond, jax.random.key(1000 + i), x_0, prev_tail
+            )  # (1, seq*dn, C)
+            s4 = sample.reshape(1, seq, dn, mcfg.nfeats)
+            pieces.append(np.asarray(s4[0] if i == 0 else s4[0, half:]))
+            prev_tail = s4[:, half:].reshape(1, half * dn, mcfg.nfeats)
+
+        full = np.concatenate(pieces, axis=0)  # (L, dn, C) normalized
+        flat = jnp.asarray(full.reshape(1, -1, mcfg.nfeats))
+        stem = os.path.splitext(os.path.basename(wav_path))[0]
+        render_sample(
+            flat, self.normalizer, "stream",
+            os.path.join(getattr(opt, "render_dir", "renders"), "GEN_" + stem),
+            dn, fk_out=getattr(opt, "vis_fk_out", None),
+            name=[wav_path], sound=False, render=getattr(opt, "render", True),
+        )
+        return full
+
     def _load_traj_params(self, opt, traj_model: TrajDecoder):
         tcfg = self.cfg.traj
         init = traj_model.init(
