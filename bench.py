@@ -95,7 +95,8 @@ def main():
 
     cfg = DanceDecoderConfig(dancer_num=dancers)
     model = DanceDecoder(cfg, dtype=compute_dtype)
-    diff = GaussianDiffusion(model, DiffusionConfig())
+    dcfg = DiffusionConfig(scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")))
+    diff = GaussianDiffusion(model, dcfg)
     tokens = cfg.seq_len * dancers
     shape = (batch, tokens, cfg.nfeats)
 

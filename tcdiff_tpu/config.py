@@ -47,6 +47,9 @@ class DiffusionConfig:
     cond_drop_prob: float = 0.25
     sampling_timesteps: int = 50  # DDIM steps (`model/diffusion.py:387`)
     ddim_eta: float = 1.0
+    # lax.scan unroll factor for the sampling loops (XLA can pipeline
+    # consecutive steps; costs compile time)
+    scan_unroll: int = 1
     # loss weights (`model/diffusion.py:735-740`)
     w_recon: float = 0.636
     w_velocity: float = 2.964

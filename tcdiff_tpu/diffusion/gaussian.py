@@ -343,7 +343,9 @@ class GaussianDiffusion:
 
             return (x_new, key), None
 
-        (x, _), _ = jax.lax.scan(body, (x, rng), jnp.arange(n_steps))
+        (x, _), _ = jax.lax.scan(
+            body, (x, rng), jnp.arange(n_steps), unroll=self.cfg.scan_unroll
+        )
 
         if x_0 is not None:
             x = _impose_traj(x, x_0)
