@@ -355,7 +355,11 @@ class TCDiff:
     # -------------------------------------------------------------- sampling
     def _sample(self, cond, x_0, rng, mode="normal", full_ref=None):
         """mode: normal (DDIM), long (sliced DDIM with half-window coupling),
-        footwork (leg channels driven by `full_ref`), ddpm (ancestral loop)."""
+        footwork (leg channels driven by `full_ref`), ddpm (ancestral loop).
+
+        Normal-mode batches shard over the dp mesh axis when divisible —
+        sampling is embarrassingly batch-parallel, so eval/serving scales
+        across chips with zero communication."""
         cfg = self.cfg.model
         b = cond.shape[0]
         shape = (b, cfg.seq_len * cfg.dancer_num, cfg.nfeats)
@@ -363,6 +367,20 @@ class TCDiff:
         params = self.eval_params()
         if mode == "long":
             return self._long_sample_fn(params, shape, cond, rng, x_0)
+        dp = self.mesh.shape.get("dp", 1)
+        if mode == "normal" and dp > 1 and b % dp == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P("dp"))
+            rep = NamedSharding(self.mesh, P())
+            fn = jax.jit(self.diffusion.ddim_sample, static_argnums=(1,), out_shardings=sh)
+            return fn(
+                jax.tree.map(lambda a: jax.device_put(a, rep), params),
+                shape,
+                jax.device_put(cond, sh),
+                jax.device_put(rng, rep),
+                None if x_0 is None else jax.device_put(jnp.asarray(x_0), sh),
+            )
         if mode == "footwork":
             assert full_ref is not None, "footwork mode needs a reference motion"
             return jax.jit(self.diffusion.ddim_sample_footwork, static_argnums=(1,))(

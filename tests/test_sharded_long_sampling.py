@@ -55,3 +55,27 @@ def test_sharded_long_ddim_matches_unsharded(setup):
     # the output really is sharded over slices
     assert not out.sharding.is_fully_replicated
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_orchestrator_sample_shards_over_dp(setup):
+    """Eval-loop sampling shards the batch over dp with identical results."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from tests.test_orchestrator import _tiny_cfg
+    from tcdiff_tpu.train.orchestrator import TCDiff
+
+    runner = TCDiff(_tiny_cfg(), use_ema_for_eval=False)
+    cfg = runner.cfg.model
+    b = 8
+    rng = np.random.default_rng(0)
+    cond = rng.normal(size=(b, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)).astype(np.float32)
+    x0 = jnp.asarray(rng.normal(size=(b, cfg.seq_len * cfg.dancer_num, 3)).astype(np.float32) * 0.2)
+
+    sharded = runner._sample(cond, x0, jax.random.key(3))
+    assert not sharded.sharding.is_fully_replicated  # really distributed
+    # single-device reference
+    shape = (b, cfg.seq_len * cfg.dancer_num, cfg.nfeats)
+    ref = runner.diffusion.ddim_sample(
+        runner.eval_params(), shape, jnp.asarray(cond), jax.random.key(3), x0
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref), atol=1e-5)
