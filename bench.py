@@ -44,8 +44,9 @@ def bench_train():
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     dancers = 3
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "f32") == "bf16" else jnp.float32
     cfg = DanceDecoderConfig(dancer_num=dancers)
-    model = DanceDecoder(cfg)
+    model = DanceDecoder(cfg, dtype=dtype, remat=os.environ.get("BENCH_REMAT", "0") == "1")
     diff = GaussianDiffusion(model, DiffusionConfig())
     tokens = cfg.seq_len * dancers
     mesh = make_mesh()
