@@ -41,6 +41,28 @@ from tcdiff_tpu.config import DanceDecoderConfig
 from tcdiff_tpu.models.rotary import apply_rotary, rotary_freqs
 
 
+def _use_pallas_ln() -> bool:
+    """TCDIFF_PALLAS_LN=1 routes the SBI-MSA LayerNorms through the fused
+    Pallas kernel (profile-driven: the f32 stat reductions are ~19% of
+    sampler device time; see BENCH_NOTES.md)."""
+    import os
+
+    return os.environ.get("TCDIFF_PALLAS_LN", "0") == "1"
+
+
+class _LNParams(nn.Module):
+    """Parameter-only stand-in with nn.LayerNorm's param names, so the fused
+    kernel shares checkpoints with the flax module."""
+
+    d: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.d,), jnp.float32)
+        return scale, bias
+
+
 def _use_pallas_attention() -> bool:
     """Measured on TPU v5e (BENCH_NOTES.md): at these shapes (tokens<=1500,
     dk=64) XLA's batched attention outperforms the per-(batch, head) Pallas
@@ -166,6 +188,11 @@ class SBIMSA(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * dk)
         out = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if deterministic and _use_pallas_ln():
+            from tcdiff_tpu.ops.fused_layernorm import fused_layernorm
+
+            scale, bias = _LNParams(self.d_model, name="layer_norm")()
+            return fused_layernorm(out, scale, bias, eps=1e-6)
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layer_norm")(out)
 
 

@@ -105,3 +105,31 @@ def test_fused_attention_batched_matches_einsum():
     out = fused_attention_batched(q, k, v, scale)
     ref = _ref_attention(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_layernorm_matches_flax():
+    import flax.linen as fnn
+
+    from tcdiff_tpu.ops.fused_layernorm import fused_layernorm
+
+    rng = np.random.default_rng(30)
+    for rows, d in ((7, 32), (450, 512), (96, 128)):
+        x = jnp.asarray(rng.normal(size=(2, rows, d)).astype(np.float32))
+        scale = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+        ln = fnn.LayerNorm(epsilon=1e-6)
+        ref = ln.apply({"params": {"scale": scale, "bias": bias}}, x)
+        out = fused_layernorm(x, scale, bias, eps=1e-6)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sbimsa_pallas_ln_env(monkeypatch):
+    from tcdiff_tpu.models.dance_decoder import SBIMSA
+
+    m = SBIMSA(n_head=2, d_model=32, dk=8, dropout=0.0)
+    x = _rand((2, 10, 32), 31)
+    params = m.init(jax.random.key(0), x, x, x)
+    base = m.apply(params, x, x, x, deterministic=True)
+    monkeypatch.setenv("TCDIFF_PALLAS_LN", "1")
+    fused = m.apply(params, x, x, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
