@@ -113,3 +113,25 @@ def test_trajectory_clamp_invariant():
     np.testing.assert_allclose(
         np.asarray(out[..., 4:6]), np.asarray(x0[..., :2]), atol=1e-6
     )
+
+
+@pytest.mark.parametrize("dn", [1, 2, 5, 10])
+def test_model_handles_all_dancer_counts(dn):
+    """The shared TRPE table sizes 10 dancers (`model/model.py:532`); the
+    net must run for any dn in [1, 10]."""
+    from tcdiff_tpu.config import DanceDecoderConfig
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=4, latent_dim=32, ff_size=32, num_layers=1, num_heads=2,
+        dancer_num=dn, head_dim=16,
+    )
+    m = DanceDecoder(cfg)
+    tokens = cfg.seq_len * dn
+    x = _rand_aa((1, tokens, cfg.nfeats), 40 + dn, 0.5)
+    c = _rand_aa((1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim), 50 + dn, 1.0)
+    t = jnp.zeros((1,), jnp.int32)
+    p = m.init(jax.random.key(0), x, c, t)["params"]
+    out = m.apply({"params": p}, x, c, t)
+    assert out.shape == (1, tokens, cfg.nfeats)
+    assert np.isfinite(np.asarray(out)).all()
