@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="input audio for --mode generate")
     parser.add_argument("--streaming", action="store_true", default=False,
                         help="generate causally slice-by-slice (low latency)")
+    parser.add_argument("--eval_during_train", action="store_true", default=False,
+                        help="compute quality metrics every save_interval epochs")
 
     # TPU-build extras
     parser.add_argument("--synthetic", action="store_true", default=False,

@@ -30,6 +30,11 @@ def load_wav(path: str, sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sw == 4:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sw == 3:  # 24-bit PCM: widen to i32 via zero-padded little-endian
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        widened = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        widened[:, 1:] = b
+        x = widened.view("<i4")[:, 0].astype(np.float32) / 2147483648.0
     elif sw == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:

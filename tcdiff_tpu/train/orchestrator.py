@@ -349,6 +349,17 @@ class TCDiff:
                         )
                     except Exception as e:  # rendering must never kill training
                         self.logger.warning("render failed: %s", e)
+                if getattr(opt, "eval_during_train", False) and test_ds is not None:
+                    # quality metrics every save interval (the reference has
+                    # only visual smoke tests, SURVEY §4)
+                    try:
+                        report = self.evaluate_loop(opt, test_ds=test_ds)
+                        metrics.log(
+                            {f"eval/{k}": v for k, v in report.items()},
+                            step=int(self.state.step),
+                        )
+                    except Exception as e:
+                        self.logger.warning("eval failed: %s", e)
         if metrics is not None:
             metrics.close()
 

@@ -146,3 +146,22 @@ def test_wav_roundtrip_and_processing(tmp_path):
     A.save_wav(p, y[::2], SR // 2)
     y3, sr3 = A.load_wav(p, sr=SR)
     assert sr3 == SR and abs(len(y3) - len(y)) < 4
+
+
+def test_load_wav_24bit(tmp_path):
+    import wave
+
+    t = np.arange(SR) / SR
+    y = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float64)
+    i32 = np.clip(y * 2147483647, -2147483648, 2147483647).astype("<i4")
+    # write top 3 bytes (little-endian 24-bit PCM)
+    b = i32.view(np.uint8).reshape(-1, 4)[:, 1:]
+    p = str(tmp_path / "s24.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(SR)
+        w.writeframes(b.tobytes())
+    x, sr = A.load_wav(p)
+    assert sr == SR
+    np.testing.assert_allclose(x, y, atol=2e-7)

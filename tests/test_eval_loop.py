@@ -19,3 +19,17 @@ def test_evaluate_loop_writes_report(tmp_path):
         assert np.isfinite(report[key])
     on_disk = json.load(open(tmp_path / "runs" / "t" / "eval.json"))
     assert on_disk.keys() == report.keys()
+
+
+def test_eval_during_train(tmp_path):
+    runner = TCDiff(_tiny_cfg(), use_ema_for_eval=False)
+    opt = _opt(tmp_path, epochs=1)
+    opt.eval_during_train = True
+    opt.render_during_train = False
+    runner.train_loop(opt)
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "runs" / "t" / "metrics.jsonl")
+        if "_config" not in l
+    ]
+    assert any("eval/fid_k" in r for r in rows)
