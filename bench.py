@@ -85,9 +85,63 @@ def bench_train():
     )
 
 
+def bench_stream():
+    """BENCH_MODE=stream: per-slice latency of causal streaming generation —
+    the time between a new 5 s audio window arriving and its motion being
+    ready (steady state, after compile)."""
+    import numpy as np
+
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    dancers = 3
+    cfg = DanceDecoderConfig(dancer_num=dancers)
+    model = DanceDecoder(cfg, dtype=jnp.bfloat16)
+    diff = GaussianDiffusion(model, DiffusionConfig())
+    tokens = cfg.seq_len * dancers
+    shape = (1, tokens, cfg.nfeats)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(rng.normal(size=(1, 301, cfg.cond_feature_dim)).astype(np.float32))
+    x0 = jnp.asarray(rng.normal(size=(1, tokens, 3)).astype(np.float32) * 0.1)
+    prev = jnp.asarray(
+        rng.normal(size=(1, (cfg.seq_len // 2) * dancers, cfg.nfeats)).astype(np.float32)
+    )
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, tokens, cfg.nfeats)),
+        jnp.zeros((1, 301, cfg.cond_feature_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    fn = jax.jit(diff.ddim_sample_stream, static_argnums=(1,))
+    out = fn(params, shape, cond, jax.random.key(1), x0, prev)
+    float(jnp.sum(out))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fn(params, shape, cond, jax.random.key(2 + i), x0, prev)
+        float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / reps
+    # each slice advances the song by 2.5 s of motion
+    print(
+        json.dumps(
+            {
+                "metric": "streaming slice latency (50-step DDIM, 3 dancers)",
+                "value": round(dt * 1000, 1),
+                "unit": "ms/slice (2.5 s motion)",
+                "vs_baseline": round(2.5 / dt, 2),
+            }
+        )
+    )
+
+
 def main():
-    if os.environ.get("BENCH_MODE", "sample") == "train":
+    mode = os.environ.get("BENCH_MODE", "sample")
+    if mode == "train":
         bench_train()
+        return
+    if mode == "stream":
+        bench_stream()
         return
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     dancers = 3
