@@ -7,6 +7,7 @@ from tcdiff_tpu.eval.metrics import (
     foot_skating_ratio,
     frechet_distance,
     geometric_features,
+    group_motion_consistency,
     kinematic_beats,
     kinetic_features,
     music_beats_from_features,
@@ -21,6 +22,7 @@ __all__ = [
     "foot_skating_ratio",
     "frechet_distance",
     "geometric_features",
+    "group_motion_consistency",
     "kinematic_beats",
     "kinetic_features",
     "music_beats_from_features",

@@ -146,6 +146,22 @@ def collision_frequency(root_pos: jnp.ndarray, radius: float = 0.4) -> jnp.ndarr
     return jnp.mean(jnp.any(close, axis=(0, 1)).astype(jnp.float32))
 
 
+def group_motion_consistency(joints_group: np.ndarray) -> float:
+    """Mean pairwise cosine similarity of the dancers' kinetic feature
+    vectors within one group — high when dancers move in a coordinated way
+    (the GMC axis of group-dance evaluation). joints_group: (dn, T, 24, 3)."""
+    feats = extract_features(np.asarray(joints_group)[None], "kinetic")  # (dn, 72) via reshape
+    feats = feats.reshape(joints_group.shape[0], -1)
+    dn = feats.shape[0]
+    if dn < 2:
+        return 1.0
+    norms = np.linalg.norm(feats, axis=1, keepdims=True)
+    unit = feats / np.maximum(norms, 1e-10)
+    sim = unit @ unit.T
+    mask = ~np.eye(dn, dtype=bool)
+    return float(sim[mask].mean())
+
+
 # ----------------------------------------------------------------- report
 def evaluate(
     gen_joints: np.ndarray,
@@ -187,4 +203,7 @@ def evaluate(
         out["collision_freq"] = float(
             np.mean([float(collision_frequency(jnp.asarray(r))) for r in gen_roots])
         )
+    out["gmc"] = float(
+        np.mean([group_motion_consistency(g) for g in np.asarray(gen_joints)])
+    )
     return out

@@ -221,12 +221,24 @@ class TCDiff:
         if getattr(opt, "split_file", None):
             split = load_split_file(opt.split_file)
 
-        # processed-dataset cache (`TCDiff.py:143-173` semantics)
+        # processed-dataset cache (`TCDiff.py:143-173` semantics); the split
+        # selection is part of the key so switching --split_file can't serve
+        # a stale cache
+        import hashlib
+
         cache_dir = getattr(opt, "processed_data_dir", None)
         no_cache = getattr(opt, "no_cache", False)
         force = getattr(opt, "force_reload", False)
-        tr_cache = os.path.join(cache_dir, f"train_dn{dn}.npz") if cache_dir else None
-        te_cache = os.path.join(cache_dir, f"test_dn{dn}.npz") if cache_dir else None
+        split_key = (
+            hashlib.sha1("\n".join(sorted(split)).encode()).hexdigest()[:8]
+            if split else "all"
+        )
+        tr_cache = (
+            os.path.join(cache_dir, f"train_dn{dn}_{split_key}.npz") if cache_dir else None
+        )
+        te_cache = (
+            os.path.join(cache_dir, f"test_dn{dn}_{split_key}.npz") if cache_dir else None
+        )
         if (
             not no_cache and not force and tr_cache
             and os.path.exists(tr_cache) and os.path.exists(te_cache)

@@ -109,3 +109,17 @@ def test_evaluate_report_keys():
     report = evaluate(gen, ref, music_feats=mf, gen_roots=roots)
     for key in ("fid_k", "fid_g", "div_k", "div_g", "foot_skate", "beat_align", "collision_freq"):
         assert key in report and np.isfinite(report[key]), key
+
+
+def test_group_motion_consistency():
+    from tcdiff_tpu.eval import group_motion_consistency
+
+    rng = np.random.default_rng(5)
+    base = np.cumsum(rng.normal(size=(1, 40, 24, 3)) * 0.05, axis=1)
+    synced = np.concatenate([base, base + 1.0], axis=0)  # identical motion, offset
+    indep = np.concatenate(
+        [base, np.cumsum(rng.normal(size=(1, 40, 24, 3)) * 0.05, axis=1)], axis=0
+    )
+    assert group_motion_consistency(synced) > 0.999
+    assert group_motion_consistency(synced) > group_motion_consistency(indep)
+    assert group_motion_consistency(base) == 1.0  # single dancer
