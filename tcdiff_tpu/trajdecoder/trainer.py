@@ -190,6 +190,7 @@ class TrajTrainer:
                         render_traj_sample(
                             traj, str(out / "renders"), epoch=it_num,
                             names=eval_batch["wav"],
+                            pkl_out=str(out / "traj_pkl"),
                         )
         metrics.close()
         return self.state
