@@ -5,14 +5,15 @@ the full-size DanceDecoder (8 layers, d=512), 3 dancers, 5 s clips @ 30 FPS —
 the reference's inference configuration (`/root/reference/model/diffusion.py:387`,
 `TCDiff.py:76-102`). Prints ONE JSON line.
 
-vs_baseline is against BASELINE.json's target: the A100 PyTorch reference
-publishes no numbers, so we use the target bar itself (5x) as 1.0 — i.e.
-vs_baseline = measured_throughput / (5 * est_a100_reference_throughput),
-with the A100 reference throughput estimated at 1.0 s-of-motion/s/chip
-(50 steps x 2 CFG forwards of a 61M-param net over 450 tokens, plus host
-loop overhead, is ~1 s per 5 s clip per batch element at batch ~5 — a
-deliberately generous estimate recorded here until a measured baseline
-exists).
+vs_baseline = measured_throughput / (5 * a100_reference_anchor), the 5x bar
+from BASELINE.json. The anchor is MEASURED, not estimated: the reference
+publishes no numbers, so tools/measure_baseline.py times the reference's own
+ddim_sample (torch) and ours on IDENTICAL hardware (this host's CPU) and
+extrapolates to A100 with the formula documented in BASELINE_MEASURED.json
+(equal fraction-of-peak at the reference's actual dtype, fp32 w/o TF32).
+Falls back to the old 1.0 s-motion/s estimate only if the measured file is
+absent. Also reports MFU from XLA's own FLOP count of the compiled sampler
+(v5e bf16 peak 197 TFLOP/s).
 """
 
 import json
@@ -28,6 +29,31 @@ import numpy as np
 from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
 from tcdiff_tpu.diffusion import GaussianDiffusion
 from tcdiff_tpu.models import DanceDecoder
+
+V5E_PEAK_BF16 = 197e12
+
+
+def _baseline_target() -> float:
+    """5x the measured A100 anchor (tools/measure_baseline.py); falls back
+    to the round-1 estimate if the measurement file is missing."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            anchor = float(json.load(f)["a100_anchor_smotion_per_s"])
+    except (OSError, KeyError, ValueError):
+        anchor = 1.0  # round-1 estimate; see BASELINE.md
+    return 5.0 * anchor
+
+
+def _flops_per_call(compiled) -> float:
+    """XLA's own FLOP count for one execution of a compiled function."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def bench_train():
@@ -173,17 +199,23 @@ def main():
             lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
         )
 
-    sample = jax.jit(diff.ddim_sample, static_argnums=(1,))
+    # AOT-compile ONCE (one axon compile serves execution + FLOP counting)
+    sample = (
+        jax.jit(diff.ddim_sample, static_argnums=(1,))
+        .lower(params, shape, cond, jax.random.key(1), x0)
+        .compile()
+    )
+    flops = _flops_per_call(sample)
 
-    # warmup/compile; fetch a scalar to the HOST each rep — block_until_ready
+    # warmup; fetch a scalar to the HOST each rep — block_until_ready
     # alone does not reliably synchronize through the axon tunnel
-    out = sample(params, shape, cond, jax.random.key(1), x0)
+    out = sample(params, cond, jax.random.key(1), x0)
     float(jnp.sum(out))
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for i in range(reps):
-        out = sample(params, shape, cond, jax.random.key(2 + i), x0)
+        out = sample(params, cond, jax.random.key(2 + i), x0)
         float(jnp.sum(out))
     elapsed = (time.perf_counter() - t0) / reps
 
@@ -191,17 +223,17 @@ def main():
     motion_seconds = batch * clip_seconds
     throughput = motion_seconds / elapsed / n_chips
 
-    baseline_target = 5.0 * 1.0  # 5x the (estimated) A100 reference, see module docstring
-    print(
-        json.dumps(
-            {
-                "metric": "sec_of_motion/sec/chip (50-step DDIM, 3 dancers)",
-                "value": round(throughput, 3),
-                "unit": "s_motion/s/chip",
-                "vs_baseline": round(throughput / baseline_target, 3),
-            }
-        )
-    )
+    is_tpu = jax.devices()[0].platform != "cpu"
+    result = {
+        "metric": "sec_of_motion/sec/chip (50-step DDIM, 3 dancers)",
+        "value": round(throughput, 3),
+        "unit": "s_motion/s/chip",
+        "vs_baseline": round(throughput / _baseline_target(), 3),
+    }
+    if flops > 0 and is_tpu:
+        result["mfu_vs_v5e_bf16_peak"] = round(flops / elapsed / V5E_PEAK_BF16, 4)
+        result["xla_tflops_per_call"] = round(flops / 1e12, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
