@@ -63,6 +63,51 @@ class _LNParams(nn.Module):
         return scale, bias
 
 
+def _ln_kwargs() -> dict:
+    """TCDIFF_LN_BF16=1 lets LayerNorm statistics stay in the compute dtype
+    instead of flax's f32 upcast — the profile's largest non-matmul bucket
+    (~19% of sampler device time is bf16->f32 convert+reduce fusions,
+    BENCH_NOTES.md). Changes numerics (bf16 mean/var over 512 channels), so
+    it is opt-in; parity tests run f32 where it is a no-op."""
+    import os
+
+    if os.environ.get("TCDIFF_LN_BF16", "0") == "1":
+        return {"force_float32_reductions": False}
+    return {}
+
+
+def _fusion_einsum() -> bool:
+    """TCDIFF_FUSION=einsum computes the fusion projection as dancer-blocked
+    einsums on a (b, seq, dn, d) view instead of reshaping the token stream
+    (b, seq*dn, d) <-> (b, seq, d*dn) — the profile's ~5% relayout-copy
+    bucket (BENCH_NOTES.md): retiling (450,512)->(150,1536) forces a
+    physical copy on TPU even though the linear memory order is unchanged.
+    Same dot products, summed per dancer block (partial-sum order differs,
+    so results agree to fp tolerance, not bitwise)."""
+    import os
+
+    return os.environ.get("TCDIFF_FUSION", "") == "einsum"
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in with nn.Dense's param names/shapes so custom
+    einsum paths share checkpoints with the flax module."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 def _use_pallas_attention() -> bool:
     """Measured on TPU v5e (BENCH_NOTES.md): at these shapes (tokens<=1500,
     dk=64) XLA's batched attention outperforms the per-(batch, head) Pallas
@@ -193,7 +238,7 @@ class SBIMSA(nn.Module):
 
             scale, bias = _LNParams(self.d_model, name="layer_norm")()
             return fused_layernorm(out, scale, bias, eps=1e-6)
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="layer_norm")(out)
+        return nn.LayerNorm(**_ln_kwargs(), epsilon=1e-6, dtype=self.dtype, name="layer_norm")(out)
 
 
 class TorchMHA(nn.Module):
@@ -250,14 +295,14 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, x, *, deterministic=True):
         angles = jnp.asarray(rotary_freqs(x.shape[-2], self.d_model))
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         qk = apply_rotary(h, angles)
         sa = TorchMHA(self.n_head, self.d_model, self.dropout, self.dtype, name="self_attn")(
             qk, qk, h, deterministic=deterministic
         )
         x = x + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
 
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -283,7 +328,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
         angles_m = jnp.asarray(rotary_freqs(memory.shape[-2], d))
 
         # self-attention + FiLM(t)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         qk = apply_rotary(h, angles_x)
         sa = SBIMSA(self.n_head, d, 64, self.dropout, self.dtype, name="self_attn")(
             qk, qk, h, shared_emb, trj_dist, deterministic=deterministic
@@ -292,7 +337,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
         x = x + featurewise_affine(sa, DenseFiLM(d, self.dtype, name="film1")(t))
 
         # cross-attention to music/time tokens + FiLM(t)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         q = apply_rotary(h, angles_x)
         k = apply_rotary(memory, angles_m)
         # trj_dist applies only to dancer-token self-attention: the reference
@@ -306,7 +351,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
         x = x + featurewise_affine(ca, DenseFiLM(d, self.dtype, name="film2")(t))
 
         # feed-forward + FiLM(t)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -316,7 +361,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
 
         # the reference ends every layer with linear3(norm4(x)) (`model/model.py:344`)
         x = nn.Dense(d, dtype=self.dtype, name="linear3")(
-            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm4")(x)
+            nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm4")(x)
         )
 
         # ConcatSquash trajectory modulation. In the reference this result is
@@ -407,7 +452,7 @@ class DanceDecoder(nn.Module):
             ct = jnp.where(km3, ct, null_cond_embed.astype(self.dtype))
 
             pooled = jnp.mean(ct, axis=-2)
-            ch = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="non_attn_norm")(pooled)
+            ch = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-6, dtype=self.dtype, name="non_attn_norm")(pooled)
             ch = nn.Dense(d, dtype=self.dtype, name="non_attn_dense0")(ch)
             ch = jax.nn.silu(ch)
             cond_hidden = nn.Dense(d, dtype=self.dtype, name="non_attn_dense1")(ch)
@@ -433,14 +478,33 @@ class DanceDecoder(nn.Module):
         traj_emb = nn.Dense(d, dtype=self.dtype, name="traj_embedding_1")(traj_emb)
 
         # input projection + fusion projection over the dancers of each frame
-        h = nn.Dense(d, dtype=self.dtype, name="input_projection")(x)
-        f = h.reshape(b, cfg.seq_len, d * dn)
-        f = nn.Dense(d * 2, dtype=self.dtype, name="relative_projection_0")(f)
-        f = jax.nn.relu(f)
-        f = nn.Dense(d * 2, dtype=self.dtype, name="relative_projection_1")(f)
-        f = jax.nn.relu(f)
-        f = nn.Dense(d * dn, dtype=self.dtype, name="relative_projection_2")(f)
-        h = f.reshape(b, tokens, d)
+        if _fusion_einsum():
+            # dancer-blocked einsums: never materialize the (b, seq, d*dn)
+            # retile — see _fusion_einsum. Param names/shapes match the
+            # nn.Dense path exactly, so checkpoints are interchangeable.
+            x4 = x.reshape(b, cfg.seq_len, dn, nfeats)
+            h4 = nn.Dense(d, dtype=self.dtype, name="input_projection")(x4)
+            k0, b0_ = _DenseParams(d * dn, d * 2, name="relative_projection_0")()
+            f = jnp.einsum(
+                "bsjd,jdf->bsf", h4, k0.reshape(dn, d, d * 2).astype(self.dtype)
+            ) + b0_.astype(self.dtype)
+            f = jax.nn.relu(f)
+            f = nn.Dense(d * 2, dtype=self.dtype, name="relative_projection_1")(f)
+            f = jax.nn.relu(f)
+            k2, b2_ = _DenseParams(d * 2, d * dn, name="relative_projection_2")()
+            h4 = jnp.einsum(
+                "bsf,fjd->bsjd", f, k2.reshape(d * 2, dn, d).astype(self.dtype)
+            ) + b2_.reshape(dn, d).astype(self.dtype)
+            h = h4.reshape(b, tokens, d)
+        else:
+            h = nn.Dense(d, dtype=self.dtype, name="input_projection")(x)
+            f = h.reshape(b, cfg.seq_len, d * dn)
+            f = nn.Dense(d * 2, dtype=self.dtype, name="relative_projection_0")(f)
+            f = jax.nn.relu(f)
+            f = nn.Dense(d * 2, dtype=self.dtype, name="relative_projection_1")(f)
+            f = jax.nn.relu(f)
+            f = nn.Dense(d * dn, dtype=self.dtype, name="relative_projection_2")(f)
+            h = f.reshape(b, tokens, d)
 
         # timestep embedding (`model/model.py:454-465,601-612`)
         t_hidden = sinusoidal_pos_emb(times, d).astype(self.dtype)
@@ -453,7 +517,7 @@ class DanceDecoder(nn.Module):
         t = t + cond_hidden
 
         memory = jnp.concatenate([ct, t_tokens], axis=-2)
-        memory = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_cond")(memory)
+        memory = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-6, dtype=self.dtype, name="norm_cond")(memory)
 
         # shared TRPE embedding table (`model/model.py:532-533`)
         shared_emb = self.param(

@@ -28,6 +28,21 @@ def rotary_freqs(seq_len: int, dim: int, theta: float = 10000.0) -> np.ndarray:
     return np.repeat(angles, 2, axis=-1).astype(np.float32)  # (S, dim)
 
 
+def _rotary_layout() -> str:
+    """TCDIFF_ROTARY selects the implementation (identical math, different
+    TPU layout):
+      * "pair" — reference-shaped (..., D/2, 2) reshape/stack. The XProf
+        profile (BENCH_NOTES.md) shows this tiles poorly: the pair axis
+        forces T(2,128) relayouts, ~9% of sampler device time.
+      * "roll" (default) — the pair swap expressed as two lane rotations +
+        a select, with the pair signs folded into the sin table: no reshape,
+        no sublane-2 tiling. Bit-identical outputs (same multiplies/adds).
+    """
+    import os
+
+    return os.environ.get("TCDIFF_ROTARY", "roll")
+
+
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     """Adjacent-pair rotation: (x0, x1, x2, x3, ...) -> (-x1, x0, -x3, x2, ...)
     (reference `rotary_embedding_torch.py:39-43`)."""
@@ -36,9 +51,22 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return rot.reshape(x.shape)
 
 
+def _swap_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """(x0, x1, x2, x3, ...) -> (x1, x0, x3, x2, ...) via lane rolls: even
+    channels read their right neighbor, odd channels their left."""
+    even = (jnp.arange(x.shape[-1]) % 2) == 0
+    return jnp.where(even, jnp.roll(x, -1, axis=-1), jnp.roll(x, 1, axis=-1))
+
+
 def apply_rotary(x: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
     """x: (..., S, D); angles: (S, D) broadcast over leading dims."""
     angles = angles.astype(x.dtype)
+    if _rotary_layout() == "roll":
+        # x*cos + rotate_half(x)*sin with the (-1)^(i+1) pair signs moved
+        # into the sin table: rotate_half(x) == swap_pairs(x) * sign, and
+        # sign*sin is a compile-time constant under jit
+        sign = jnp.asarray(np.tile([-1.0, 1.0], x.shape[-1] // 2), x.dtype)
+        return x * jnp.cos(angles) + _swap_pairs(x) * (jnp.sin(angles) * sign)
     return x * jnp.cos(angles) + _rotate_half(x) * jnp.sin(angles)
 
 

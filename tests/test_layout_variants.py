@@ -1,0 +1,121 @@
+"""Layout-variant equivalence: the profile-targeted reformulations
+(BENCH_NOTES.md buckets) must not change the math.
+
+  * TCDIFF_ROTARY=roll vs pair — bit-identical (multiplying by the ±1 sign
+    vector is exact in IEEE, everything else is the same ops).
+  * TCDIFF_FUSION=einsum vs dense — same dot products, dancer-blocked
+    partial sums (fp tolerance).
+  * TCDIFF_LN_BF16 — opt-in numerics change; asserted to be a NO-OP in f32
+    and within bf16 tolerance of the f32-stats path in bf16.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tcdiff_tpu.config import DanceDecoderConfig
+from tcdiff_tpu.models import DanceDecoder
+from tcdiff_tpu.models.rotary import apply_rotary, rotary_freqs
+
+
+@pytest.fixture
+def env(monkeypatch):
+    return monkeypatch
+
+
+def _model_io(dancers=3, seq=16):
+    cfg = DanceDecoderConfig(
+        seq_len=seq, latent_dim=64, ff_size=64, num_layers=2, num_heads=4,
+        cond_feature_dim=24, dancer_num=dancers, head_dim=16,
+    )
+    model = DanceDecoder(cfg)
+    tokens = seq * dancers
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, tokens, cfg.nfeats)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(2, 2 * seq + 1, 24)).astype(np.float32))
+    t = jnp.asarray([3, 7], dtype=jnp.int32)
+    params = model.init(jax.random.key(0), x, cond, t)["params"]
+    return model, params, (x, cond, t)
+
+
+def test_rotary_roll_bitwise_equals_pair(env):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 150, 512)).astype(np.float32))
+    angles = jnp.asarray(rotary_freqs(150, 512))
+    env.setenv("TCDIFF_ROTARY", "pair")
+    ref = apply_rotary(x, angles)
+    env.setenv("TCDIFF_ROTARY", "roll")
+    out = apply_rotary(x, angles)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_rotary_roll_bitwise_equals_pair_bf16(env):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32)).astype(jnp.bfloat16)
+    angles = jnp.asarray(rotary_freqs(64, 128))
+    env.setenv("TCDIFF_ROTARY", "pair")
+    ref = apply_rotary(x, angles)
+    env.setenv("TCDIFF_ROTARY", "roll")
+    out = apply_rotary(x, angles)
+    np.testing.assert_array_equal(
+        np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32)
+    )
+
+
+def test_fusion_einsum_matches_dense(env):
+    model, params, io = _model_io()
+    env.setenv("TCDIFF_FUSION", "")
+    ref = model.apply({"params": params}, *io)
+    env.setenv("TCDIFF_FUSION", "einsum")
+    jax.clear_caches()  # flags are read at trace time
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_fusion_einsum_param_tree_unchanged(env):
+    """Both paths must produce the same parameter structure so checkpoints
+    are interchangeable."""
+    env.setenv("TCDIFF_FUSION", "einsum")
+    jax.clear_caches()
+    model, params_e, io = _model_io()
+    env.setenv("TCDIFF_FUSION", "")
+    jax.clear_caches()
+    model2, params_d, _ = _model_io()
+    td = jax.tree.map(lambda a: (a.shape, a.dtype), params_d)
+    te = jax.tree.map(lambda a: (a.shape, a.dtype), params_e)
+    assert jax.tree.structure(td) == jax.tree.structure(te)
+    assert jax.tree.leaves(td) == jax.tree.leaves(te)
+
+
+def test_ln_bf16_flag_is_noop_in_f32(env):
+    model, params, io = _model_io()
+    env.setenv("TCDIFF_LN_BF16", "0")
+    ref = model.apply({"params": params}, *io)
+    env.setenv("TCDIFF_LN_BF16", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_ln_bf16_close_in_bf16(env):
+    cfg = DanceDecoderConfig(
+        seq_len=16, latent_dim=64, ff_size=64, num_layers=2, num_heads=4,
+        cond_feature_dim=24, dancer_num=2, head_dim=16,
+    )
+    rng = np.random.default_rng(3)
+    tokens = 32
+    x = jnp.asarray(rng.normal(size=(2, tokens, cfg.nfeats)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(2, 33, 24)).astype(np.float32))
+    t = jnp.asarray([3, 7], dtype=jnp.int32)
+    model = DanceDecoder(cfg, dtype=jnp.bfloat16)
+    params = model.init(jax.random.key(0), x, cond, t)["params"]
+    env.setenv("TCDIFF_LN_BF16", "0")
+    ref = model.apply({"params": params}, x, cond, t)
+    env.setenv("TCDIFF_LN_BF16", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, x, cond, t)
+    # bf16 stats over 512 channels: expect agreement to bf16 resolution
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05, rtol=0.05)
