@@ -161,6 +161,114 @@ def bench_stream():
     )
 
 
+def bench_stream_e2e():
+    """BENCH_MODE=stream_e2e: the FULL streaming pipeline (DBN rollout +
+    Kalman + per-slice denoise) over a 60 s song, pipelined (incremental
+    TrajectoryStreamer, VERDICT item 8) vs the up-front variant the
+    reference's structure implies (whole-song rollout before slice 0,
+    `TCDiff.py:527-550`). Reports time-to-first-motion for both and the
+    pipelined steady-state slice latency."""
+    import numpy as np
+
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig, TrajDecoderConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+    from tcdiff_tpu.trajdecoder.kalman import kalman_smooth_batch
+    from tcdiff_tpu.trajdecoder.model import TrajDecoder
+    from tcdiff_tpu.trajdecoder.rollout import autoregressive_rollout
+    from tcdiff_tpu.trajdecoder.streaming import TrajectoryStreamer
+
+    dancers = 3
+    cfg = DanceDecoderConfig(dancer_num=dancers)
+    tcfg = TrajDecoderConfig()
+    model = DanceDecoder(cfg, dtype=jnp.bfloat16)
+    diff = GaussianDiffusion(model, DiffusionConfig())
+    traj_model = TrajDecoder(tcfg)
+    seq, half = cfg.seq_len, cfg.seq_len // 2
+    tokens = seq * dancers
+    shape = (1, tokens, cfg.nfeats)
+
+    rng = np.random.default_rng(0)
+    song_s = float(os.environ.get("BENCH_SONG_SECONDS", "60"))
+    feats = rng.normal(size=(1, int(song_s * 60), cfg.cond_feature_dim)).astype(np.float32)
+    win_f, stride_f = 2 * seq + 1, seq
+    starts = list(range(0, feats.shape[1] - win_f + 1, stride_f))
+    seed = rng.normal(size=(1, dancers, tcfg.window_size, 2)).astype(np.float32) * 0.1
+
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, tokens, cfg.nfeats)),
+        jnp.zeros((1, 301, cfg.cond_feature_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    traj_params = traj_model.init(
+        jax.random.key(1),
+        jnp.zeros((1, dancers, tcfg.window_size, tcfg.nfeats)),
+        jnp.zeros((1, (tcfg.window_size + tcfg.step) * 2, tcfg.cond_feature_dim)),
+    )["params"]
+    stream_fn = jax.jit(diff.ddim_sample_stream, static_argnums=(1,))
+
+    def run_pipelined(record_first=True):
+        streamer = TrajectoryStreamer(
+            traj_model, traj_params, seed, feats, tcfg.window_size, tcfg.step
+        )
+        t0 = time.perf_counter()
+        t_first = None
+        prev_tail = None
+        for i, s in enumerate(starts):
+            t = streamer.frames(i * half + seq)[0][:, i * half : i * half + seq]
+            xy = jnp.transpose(t, (1, 0, 2)).reshape(1, tokens, 2)
+            x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+            cond = jnp.asarray(feats[:, s : s + win_f])
+            sample = stream_fn(params, shape, cond, jax.random.key(1000 + i), x_0, prev_tail)
+            s4 = sample.reshape(1, seq, dancers, cfg.nfeats)
+            prev_tail = s4[:, half:].reshape(1, half * dancers, cfg.nfeats)
+            if i == 0 and record_first:
+                jax.block_until_ready(sample)
+                t_first = time.perf_counter() - t0
+        jax.block_until_ready(prev_tail)
+        return t_first, time.perf_counter() - t0
+
+    def run_upfront():
+        t0 = time.perf_counter()
+        traj = autoregressive_rollout(
+            traj_model, traj_params, jnp.asarray(seed), jnp.asarray(feats),
+            tcfg.window_size, tcfg.step,
+        )
+        traj = kalman_smooth_batch(traj)[0]
+        need = (len(starts) - 1) * half + seq
+        if traj.shape[1] < need:
+            pad = jnp.repeat(traj[:, -1:], need - traj.shape[1], axis=1)
+            traj = jnp.concatenate([traj, pad], axis=1)
+        t = traj[:, :seq]
+        xy = jnp.transpose(t, (1, 0, 2)).reshape(1, tokens, 2)
+        x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+        cond = jnp.asarray(feats[:, starts[0] : starts[0] + win_f])
+        sample = stream_fn(params, shape, cond, jax.random.key(1000), x_0, None)
+        jax.block_until_ready(sample)
+        return time.perf_counter() - t0
+
+    run_pipelined(record_first=False)  # warmup: compiles everything
+    run_upfront()
+    t_first_pipe, total = run_pipelined()
+    t_first_up = run_upfront()
+    steady = (total - t_first_pipe) / max(1, len(starts) - 1)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming e2e time-to-first-motion (DBN+Kalman+DDIM)",
+                "value": round(t_first_pipe * 1000, 1),
+                "unit": "ms (pipelined)",
+                "vs_baseline": round(t_first_up / t_first_pipe, 2),
+                "upfront_ttfm_ms": round(t_first_up * 1000, 1),
+                "steady_ms_per_slice": round(steady * 1000, 1),
+                "slices": len(starts),
+                "song_seconds": song_s,
+            }
+        )
+    )
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "sample")
     if mode == "train":
@@ -168,6 +276,9 @@ def main():
         return
     if mode == "stream":
         bench_stream()
+        return
+    if mode == "stream_e2e":
+        bench_stream_e2e()
         return
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     dancers = 3

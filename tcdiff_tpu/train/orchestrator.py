@@ -649,14 +649,28 @@ class TCDiff:
             render=getattr(opt, "render", True),
         )
 
-    def generate_streaming(self, wav_path: str, opt) -> np.ndarray:
+    def generate_streaming(self, wav_path: str, opt, on_slice=None) -> np.ndarray:
         """Low-latency wav-to-dance: slices are generated CAUSALLY, one at a
         time, each inpainting its first half-window from the previous
         slice's tail (`ddim_sample_stream`). First motion appears after one
         slice instead of after the whole song; memory is O(1) in song
-        length. Returns the assembled (dn, L, 151-ch) normalized motion and
-        renders/exports like `generate`."""
+        length.
+
+        The DBN stage is PIPELINED with denoising via `TrajectoryStreamer`:
+        instead of rolling the whole song's trajectory up-front
+        (`/root/reference/TCDiff.py:527-550` — O(song) before the first
+        frame), the rollout + Kalman advance only far enough for the next
+        slice, and slice i's trajectory is produced while the device still
+        owns slice i-1's denoise (async dispatch, no host syncs in the
+        loop). The trajectory values are exactly the full-rollout result
+        (tests/test_streaming_pipeline.py).
+
+        `on_slice(i, s4)`: optional consumer called with each slice's device
+        array as soon as it is enqueued — a live client would block on
+        exactly one slice here. Returns the assembled (L, dn, 151) motion
+        and renders/exports like `generate`."""
         from tcdiff_tpu.data.features import wav_processing
+        from tcdiff_tpu.trajdecoder.streaming import TrajectoryStreamer
 
         assert self.normalizer is not None, "needs a checkpoint (normalizer)"
         mcfg = self.cfg.model
@@ -669,7 +683,7 @@ class TCDiff:
         if not starts:
             raise ValueError(f"{wav_path}: audio shorter than one 5 s window")
 
-        # trajectory for the whole song, as in generate()
+        # trajectory seed: default circle formation, as in generate()
         angles = 2 * np.pi * np.arange(dn) / dn
         world = np.stack([np.cos(angles), np.sin(angles)], -1)
         scale = np.asarray(self.normalizer.scale)[4:6]
@@ -678,15 +692,9 @@ class TCDiff:
         seed = np.broadcast_to(seed_xy[None, :, None, :], (1, dn, tcfg.window_size, 2)).copy()
         traj_model = TrajDecoder(tcfg)
         traj_params = self._load_traj_params(opt, traj_model)
-        traj = autoregressive_rollout(
-            traj_model, traj_params, jnp.asarray(seed), jnp.asarray(feats[None]),
-            tcfg.window_size, tcfg.step,
+        streamer = TrajectoryStreamer(
+            traj_model, traj_params, seed, feats[None], tcfg.window_size, tcfg.step
         )
-        traj = kalman_smooth_batch(traj)[0]
-        need = (len(starts) - 1) * half + seq
-        if traj.shape[1] < need:
-            pad = jnp.repeat(traj[:, -1:], need - traj.shape[1], axis=1)
-            traj = jnp.concatenate([traj, pad], axis=1)
 
         shape = (1, seq * dn, mcfg.nfeats)
         stream_fn = jax.jit(self.diffusion.ddim_sample_stream, static_argnums=(1,))
@@ -694,18 +702,21 @@ class TCDiff:
         pieces = []
         prev_tail = None
         for i, s in enumerate(starts):
-            t = traj[:, i * half : i * half + seq]  # (dn, seq, 2)
+            t = streamer.frames(i * half + seq)[0, :, i * half : i * half + seq]
             xy = jnp.transpose(t, (1, 0, 2)).reshape(1, seq * dn, 2)
             x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
             cond = jnp.asarray(feats[s : s + win_f][None])
             sample = stream_fn(
                 params, shape, cond, jax.random.key(1000 + i), x_0, prev_tail
-            )  # (1, seq*dn, C)
+            )  # (1, seq*dn, C) — enqueued, NOT synced: the host moves on to
+            # the next slice's trajectory while the device denoises
             s4 = sample.reshape(1, seq, dn, mcfg.nfeats)
-            pieces.append(np.asarray(s4[0] if i == 0 else s4[0, half:]))
+            pieces.append(s4[0] if i == 0 else s4[0, half:])
             prev_tail = s4[:, half:].reshape(1, half * dn, mcfg.nfeats)
+            if on_slice is not None:
+                on_slice(i, s4)
 
-        full = np.concatenate(pieces, axis=0)  # (L, dn, C) normalized
+        full = np.asarray(jnp.concatenate(pieces, axis=0))  # (L, dn, C) normalized
         flat = jnp.asarray(full.reshape(1, -1, mcfg.nfeats))
         stem = os.path.splitext(os.path.basename(wav_path))[0]
         render_sample(

@@ -16,16 +16,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _kalman_single(xy: jnp.ndarray, dt=1.0, process_noise_std=1e-2, measurement_noise_std=1e-1):
-    """xy: (T, 2) -> filtered positions (T, 2)."""
+def _kalman_scan(xy: jnp.ndarray, x0: jnp.ndarray, P0: jnp.ndarray,
+                 dt=1.0, process_noise_std=1e-2, measurement_noise_std=1e-1):
+    """Run the filter over xy: (T, 2) from state (x0 (4,), P0 (4,4)).
+
+    Returns (filtered (T, 2), (x_T, P_T)) so filtering can continue on the
+    next chunk — the filter is strictly causal, so chunked application is
+    EXACTLY the batch result."""
     F = jnp.asarray(
         [[1, 0, dt, 0], [0, 1, 0, dt], [0, 0, 1, 0], [0, 0, 0, 1]], dtype=xy.dtype
     )
     H = jnp.asarray([[1, 0, 0, 0], [0, 1, 0, 0]], dtype=xy.dtype)
     Q = jnp.eye(4, dtype=xy.dtype) * process_noise_std  # std, not var: reference quirk
     R = jnp.eye(2, dtype=xy.dtype) * measurement_noise_std**2
-    P0 = jnp.eye(4, dtype=xy.dtype) * 10.0
-    x0 = jnp.concatenate([xy[0], jnp.zeros(2, xy.dtype)])
 
     def step(carry, z):
         x, P = carry
@@ -42,8 +45,38 @@ def _kalman_single(xy: jnp.ndarray, dt=1.0, process_noise_std=1e-2, measurement_
         P = IKH @ P @ IKH.T + K @ R @ K.T
         return (x, P), x[:2]
 
-    (_, _), out = jax.lax.scan(step, (x0, P0), xy)
+    (xT, PT), out = jax.lax.scan(step, (x0, P0), xy)
+    return out, (xT, PT)
+
+
+def _kalman_single(xy: jnp.ndarray, dt=1.0, process_noise_std=1e-2, measurement_noise_std=1e-1):
+    """xy: (T, 2) -> filtered positions (T, 2)."""
+    P0 = jnp.eye(4, dtype=xy.dtype) * 10.0
+    x0 = jnp.concatenate([xy[0], jnp.zeros(2, xy.dtype)])
+    out, _ = _kalman_scan(xy, x0, P0, dt, process_noise_std, measurement_noise_std)
     return out
+
+
+def kalman_filter_chunk(
+    xy_chunk, state=None, dt=1.0, process_noise_std=1e-2, measurement_noise_std=1e-1
+):
+    """Incremental filtering for streaming: (N, T, 2) chunk + carried state
+    -> (filtered (N, T, 2), state). state=None initializes from the chunk's
+    first frame exactly like the batch filter (`utils_model.py:39-47`).
+    Feeding a trajectory in chunks reproduces `kalman_smooth_batch` bitwise.
+    """
+    arr = jnp.asarray(xy_chunk)
+    n = arr.shape[0]
+    if state is None:
+        x0 = jnp.concatenate([arr[:, 0], jnp.zeros((n, 2), arr.dtype)], axis=-1)
+        P0 = jnp.broadcast_to(jnp.eye(4, dtype=arr.dtype) * 10.0, (n, 4, 4))
+        state = (x0, P0)
+    out, new_state = jax.vmap(
+        lambda xy, x0, P0: _kalman_scan(
+            xy, x0, P0, dt, process_noise_std, measurement_noise_std
+        )
+    )(arr, state[0], state[1])
+    return out, new_state
 
 
 def kalman_smooth_batch(xy_batch, dt=1.0, process_noise_std=1e-2, measurement_noise_std=1e-1):
