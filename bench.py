@@ -46,7 +46,10 @@ def _baseline_target() -> float:
 
 
 def _flops_per_call(compiled) -> float:
-    """XLA's own FLOP count for one execution of a compiled function."""
+    """XLA's own FLOP count for one execution of a compiled function.
+    CAVEAT: control-flow bodies (lax.scan) are counted ONCE, so for the
+    50-step sampler this is ~one step's FLOPs; use _analytic_sampler_flops
+    for totals."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -54,6 +57,43 @@ def _flops_per_call(compiled) -> float:
         return float(ca.get("flops", 0.0))
     except Exception:
         return 0.0
+
+
+def _analytic_sampler_flops(cfg, batch: int, steps: int) -> float:
+    """Matmul+attention FLOPs of one 50-step DDIM call: `steps` guided
+    forwards (CFG doubles the batch) of the DanceDecoder denoiser, with the
+    music-cond encoder hoisted out of the scan (counted once). Mirrors
+    tcdiff_tpu/models/dance_decoder.py's dataflow; 2 FLOPs per MAC."""
+    d, ff, L = cfg.latent_dim, cfg.ff_size, cfg.num_layers
+    dn, seq, C = cfg.dancer_num, cfg.seq_len, cfg.nfeats
+    tokens = seq * dn
+    mem = seq + 2  # cond tokens (2-frame packed) + 2 time tokens
+    cf = cfg.cond_feature_dim
+
+    per_layer = (
+        4 * tokens * d * d  # self-attn q/k/v/out
+        + 2 * 2 * tokens * tokens * d  # self-attn logits + AV (h*dk = d)
+        + 2 * tokens * d * d + 2 * mem * d * d  # cross q,out / k,v
+        + 2 * 2 * tokens * mem * d
+        + 2 * tokens * d * ff  # FF
+        + tokens * d * d  # linear3
+        + 3 * d * 2 * d  # FiLM generators (per batch element)
+    )
+    per_fwd = (
+        tokens * C * d  # input projection
+        + seq * (d * dn * 2 * d + 2 * d * 2 * d + 2 * d * d * dn)  # fusion MLP
+        + (tokens - 1) * (2 * 64 + 64 * d)  # traj embedding
+        + d * 4 * d + 4 * d * d + 4 * d * 2 * d  # time MLP + tokens
+        + L * per_layer
+        + tokens * d * C  # final layer
+    )
+    cond_once = (
+        (seq + 1) * (2 * cf * cf + cf * d)  # cond projection
+        + 2 * (4 * seq * d * d + 2 * 2 * seq * seq * d + 2 * seq * d * ff)  # 2 enc layers
+        + 2 * d * d  # non-attn pooled MLP
+    )
+    guided_batch = 2 * batch
+    return 2.0 * guided_batch * (steps * per_fwd + cond_once)
 
 
 def bench_train():
@@ -341,9 +381,13 @@ def main():
         "unit": "s_motion/s/chip",
         "vs_baseline": round(throughput / _baseline_target(), 3),
     }
-    if flops > 0 and is_tpu:
-        result["mfu_vs_v5e_bf16_peak"] = round(flops / elapsed / V5E_PEAK_BF16, 4)
-        result["xla_tflops_per_call"] = round(flops / 1e12, 3)
+    if is_tpu:
+        an_flops = _analytic_sampler_flops(cfg, batch, dcfg.sampling_timesteps)
+        result["mfu_vs_v5e_bf16_peak"] = round(an_flops / elapsed / V5E_PEAK_BF16, 4)
+        result["analytic_tflops_per_call"] = round(an_flops / 1e12, 3)
+        if flops > 0:
+            # XLA's count (scan body once) — recorded for cross-checking
+            result["xla_tflops_scan_body"] = round(flops / 1e12, 3)
     print(json.dumps(result))
 
 

@@ -59,15 +59,23 @@ def extract_features(joints_batch, kind: str = "kinetic") -> np.ndarray:
 
 # ------------------------------------------------------------------- FID
 def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
-    """Frechet distance between Gaussian fits of two feature sets."""
+    """Frechet distance between Gaussian fits of two feature sets.
+
+    Standard TTUR/pytorch-fid recipe: sqrtm(S1 @ S2) with the eps ridge
+    added ONLY if the plain product is singular — adding it unconditionally
+    biases FID(X, X) away from 0. Cross-checked against the 1-D closed form
+    and an independent eigh-based implementation in
+    tests/test_metrics_golden.py."""
     from scipy import linalg
 
     mu1, mu2 = feats_a.mean(0), feats_b.mean(0)
-    s1 = np.cov(feats_a, rowvar=False)
-    s2 = np.cov(feats_b, rowvar=False)
+    s1 = np.atleast_2d(np.cov(feats_a, rowvar=False))
+    s2 = np.atleast_2d(np.cov(feats_b, rowvar=False))
     diff = mu1 - mu2
-    eps = 1e-6 * np.eye(s1.shape[0])
-    covmean = linalg.sqrtm((s1 + eps) @ (s2 + eps))
+    covmean = linalg.sqrtm(s1 @ s2)
+    if not np.isfinite(covmean).all():
+        eps = 1e-6 * np.eye(s1.shape[0])
+        covmean = linalg.sqrtm((s1 + eps) @ (s2 + eps))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(s1 + s2 - 2.0 * covmean))
