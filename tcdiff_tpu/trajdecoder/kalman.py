@@ -57,6 +57,18 @@ def _kalman_single(xy: jnp.ndarray, dt=1.0, process_noise_std=1e-2, measurement_
     return out
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "q_std", "r_std"))
+def _kalman_chunk_jit(arr, x0, P0, dt, q_std, r_std):
+    """Module-level jit so chunked streaming reuses one compile per chunk
+    shape (a per-call vmap(lambda) would retrace every invocation)."""
+    return jax.vmap(lambda xy, x, P: _kalman_scan(xy, x, P, dt, q_std, r_std))(
+        arr, x0, P0
+    )
+
+
 def kalman_filter_chunk(
     xy_chunk, state=None, dt=1.0, process_noise_std=1e-2, measurement_noise_std=1e-1
 ):
@@ -71,12 +83,10 @@ def kalman_filter_chunk(
         x0 = jnp.concatenate([arr[:, 0], jnp.zeros((n, 2), arr.dtype)], axis=-1)
         P0 = jnp.broadcast_to(jnp.eye(4, dtype=arr.dtype) * 10.0, (n, 4, 4))
         state = (x0, P0)
-    out, new_state = jax.vmap(
-        lambda xy, x0, P0: _kalman_scan(
-            xy, x0, P0, dt, process_noise_std, measurement_noise_std
-        )
-    )(arr, state[0], state[1])
-    return out, new_state
+    return _kalman_chunk_jit(
+        arr, state[0], state[1], float(dt), float(process_noise_std),
+        float(measurement_noise_std),
+    )
 
 
 def kalman_smooth_batch(xy_batch, dt=1.0, process_noise_std=1e-2, measurement_noise_std=1e-1):

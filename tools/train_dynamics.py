@@ -1,0 +1,199 @@
+"""Training-dynamics demonstration on the real TPU chip (VERDICT item 5).
+
+Trains the FULL-SIZE denoiser (8 layers, d=512, 3 dancers — the exact
+reference config, `/root/reference/TCDiff.py:76-102`) on synthetic data for
+several hundred steps and records the 4-term loss trajectory
+(`model/diffusion.py:668-741` semantics), plus eval-style quality metrics
+(FID_k / diversity / foot-skate against a held-out synthetic set) at the
+start and end; then runs the DBN trainer
+(`/root/reference/TrajDecoder/train_traj.py:26-287` semantics) for a few
+thousand iterations. This is the strongest convergence evidence available
+without AIOZ-GDance on this machine.
+
+Writes JSONL curves to /tmp/train_dynamics.jsonl and a summary JSON line to
+stdout. Run on the TPU: `python tools/train_dynamics.py` (no env needed);
+budget a cold ~5-10 min train-step compile through the axon tunnel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tcdiff_jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+from tcdiff_tpu.data.synthetic import synthetic_dataset
+from tcdiff_tpu.diffusion import GaussianDiffusion
+from tcdiff_tpu.models import DanceDecoder
+from tcdiff_tpu.optim import adan
+from tcdiff_tpu.parallel import make_mesh, replicated, shard_batch
+from tcdiff_tpu.train import create_train_state, make_train_step
+
+LOG = os.environ.get("DYN_LOG", "/tmp/train_dynamics.jsonl")
+STEPS = int(os.environ.get("DYN_STEPS", "400"))
+BATCH = int(os.environ.get("DYN_BATCH", "32"))
+N_DATA = int(os.environ.get("DYN_DATA", "256"))
+EVAL_SAMPLES = int(os.environ.get("DYN_EVAL", "8"))
+TINY = os.environ.get("DYN_TINY", "0") == "1"  # CPU smoke-test sizing
+
+
+def _fk(flat, normalizer, dn):
+    """(b, seq*dn, 151) normalized -> (b, dn, seq, 24, 3) FK positions."""
+    from tcdiff_tpu.geometry.skeleton import smpl_fk
+    from tcdiff_tpu.viz.postprocess import split_sample
+
+    _, pos, q = split_sample(jnp.asarray(flat), normalizer, dn)
+    joints = smpl_fk(q, pos)  # (b, seq*dn, 24, 3)
+    b, tokens = joints.shape[:2]
+    seq = tokens // dn
+    return np.asarray(
+        jnp.transpose(joints.reshape(b, seq, dn, 24, 3), (0, 2, 1, 3, 4))
+    )
+
+
+def eval_metrics(diff, model, params, normalizer, eval_x, eval_cond, key):
+    """Sample with GT trajectories (val_without_TrajModel semantics,
+    `TCDiff.py:382-402`) and score vs the ground-truth clips."""
+    from tcdiff_tpu.eval.metrics import evaluate
+
+    b = eval_x.shape[0]
+    dn, s, c = eval_x.shape[1], eval_x.shape[2], eval_x.shape[3]
+    xy = jnp.transpose(eval_x[..., 4:6], (0, 2, 1, 3)).reshape(b, s * dn, 2)
+    x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+    shape = (b, s * dn, c)
+    sample = jax.jit(diff.ddim_sample, static_argnums=(1,))(
+        params, shape, jnp.asarray(eval_cond), key, x_0
+    )
+    gen = _fk(sample, normalizer, dn)
+    gt_flat = jnp.transpose(jnp.asarray(eval_x), (0, 2, 1, 3)).reshape(b, s * dn, c)
+    ref = _fk(gt_flat, normalizer, dn)
+    rep = evaluate(gen, ref)
+    return {k: float(v) for k, v in rep.items() if k in ("fid_k", "div_k", "foot_skate", "gmc")}
+
+
+def train_denoiser(log):
+    if TINY:
+        cfg = DanceDecoderConfig(
+            seq_len=16, latent_dim=32, ff_size=32, num_layers=1, num_heads=2,
+            dancer_num=3, head_dim=16,
+        )
+        dcfg = DiffusionConfig(sampling_timesteps=2, n_timestep=10)
+    else:
+        cfg = DanceDecoderConfig(dancer_num=3)
+        dcfg = DiffusionConfig()
+    model = DanceDecoder(cfg, dtype=jnp.bfloat16)
+    diff = GaussianDiffusion(model, dcfg)
+    tokens = cfg.seq_len * 3
+    poses, music, normalizer = synthetic_dataset(N_DATA, 3, cfg.seq_len, seed=0)
+    eval_poses, eval_music, _ = synthetic_dataset(EVAL_SAMPLES, 3, cfg.seq_len, seed=99)
+
+    mesh = make_mesh()
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, tokens, cfg.nfeats)),
+        jnp.zeros((1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    tx = adan(5e-5, weight_decay=0.02)
+    state = jax.device_put(create_train_state(params, tx), replicated(mesh))
+    step = jax.jit(make_train_step(diff, tx), donate_argnums=0)
+    key = jax.device_put(jax.random.key(1), replicated(mesh))
+
+    pre_eval = eval_metrics(
+        diff, model, state.params, normalizer, jnp.asarray(eval_poses),
+        eval_music, jax.random.key(7),
+    )
+    log({"event": "denoiser_eval", "step": 0, **pre_eval})
+
+    rng = np.random.default_rng(0)
+    first = last = None
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        idx = rng.integers(0, N_DATA, size=BATCH)
+        xs, cs = shard_batch(
+            (jnp.asarray(poses[idx]), jnp.asarray(music[idx])), mesh
+        )
+        state, m = step(state, xs, cs, key)
+        if i % 10 == 0 or i == STEPS - 1:
+            vals = {k: float(v) for k, v in m.items()}
+            log({"event": "denoiser", "step": i, **vals})
+            if first is None:
+                first = vals
+            last = vals
+    train_s = time.perf_counter() - t0
+
+    post_eval = eval_metrics(
+        diff, model, state.params, normalizer, jnp.asarray(eval_poses),
+        eval_music, jax.random.key(7),
+    )
+    log({"event": "denoiser_eval", "step": STEPS, **post_eval})
+    return {
+        "denoiser_first": first,
+        "denoiser_last": last,
+        "denoiser_eval_pre": pre_eval,
+        "denoiser_eval_post": post_eval,
+        "denoiser_steps": STEPS,
+        "denoiser_train_seconds": round(train_s, 1),
+    }
+
+
+def train_dbn(log):
+    """Full-size DBN (trans_layer 6) on synthetic trajectories; reads the
+    loss curve back from the trainer's JSONL metrics."""
+    from tcdiff_tpu.config import TrajDecoderConfig
+    from tcdiff_tpu.trajdecoder.dataset import SyntheticTrajDataset
+    from tcdiff_tpu.trajdecoder.trainer import TrajTrainer
+
+    iters = int(os.environ.get("DYN_DBN_ITERS", "2000"))
+    tcfg = (
+        TrajDecoderConfig(print_iter=50, window_size=8, step=4, trans_layer=1,
+                          latent_dim=16)
+        if TINY
+        else TrajDecoderConfig(print_iter=200)
+    )
+    trainer = TrajTrainer(tcfg, dancer_num=3)
+    train_ds = SyntheticTrajDataset(128, 3, seq_len=16 if TINY else 150, seed=42)
+    out_dir = "/tmp/dyn_dbn"
+    trainer.train(train_ds, None, total_iter=iters, out_dir=out_dir, render=False)
+
+    rows = [
+        json.loads(line)
+        for line in open(os.path.join(out_dir, "metrics.jsonl"))
+        if "_config" not in line
+    ]
+    for r in rows:
+        log({"event": "dbn", **{k: r[k] for k in r if not k.startswith("_")}})
+    keys = ("total", "recon", "dis_loss", "v_loss")
+    first = {k: rows[0][k] for k in keys if k in rows[0]}
+    last = {k: rows[-1][k] for k in keys if k in rows[-1]}
+    return {"dbn_first": first, "dbn_last": last, "dbn_iters": iters}
+
+
+def main():
+    out = open(LOG, "w")
+
+    def log(row):
+        out.write(json.dumps(row) + "\n")
+        out.flush()
+
+    summary = {}
+    summary.update(train_denoiser(log))
+    try:
+        summary.update(train_dbn(log))
+    except Exception as e:  # DBN trainer API may differ; denoiser is the core
+        summary["dbn_error"] = repr(e)
+    out.close()
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
