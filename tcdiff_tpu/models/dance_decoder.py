@@ -77,16 +77,18 @@ def _ln_kwargs() -> dict:
 
 
 def _fusion_einsum() -> bool:
-    """TCDIFF_FUSION=einsum computes the fusion projection as dancer-blocked
-    einsums on a (b, seq, dn, d) view instead of reshaping the token stream
+    """Default: compute the fusion projection as dancer-blocked einsums on a
+    (b, seq, dn, d) view instead of reshaping the token stream
     (b, seq*dn, d) <-> (b, seq, d*dn) — the profile's ~5% relayout-copy
     bucket (BENCH_NOTES.md): retiling (450,512)->(150,1536) forces a
     physical copy on TPU even though the linear memory order is unchanged.
     Same dot products, summed per dancer block (partial-sum order differs,
-    so results agree to fp tolerance, not bitwise)."""
+    so results agree to fp tolerance, not bitwise). Measured +1%
+    s-motion/s on v5e (134.0 vs 132.6); TCDIFF_FUSION=dense restores the
+    reshape path."""
     import os
 
-    return os.environ.get("TCDIFF_FUSION", "") == "einsum"
+    return os.environ.get("TCDIFF_FUSION", "einsum") != "dense"
 
 
 class _DenseParams(nn.Module):

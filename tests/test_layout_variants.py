@@ -67,7 +67,7 @@ def test_rotary_roll_bitwise_equals_pair_bf16(env):
 
 def test_fusion_einsum_matches_dense(env):
     model, params, io = _model_io()
-    env.setenv("TCDIFF_FUSION", "")
+    env.setenv("TCDIFF_FUSION", "dense")
     ref = model.apply({"params": params}, *io)
     env.setenv("TCDIFF_FUSION", "einsum")
     jax.clear_caches()  # flags are read at trace time
@@ -81,7 +81,7 @@ def test_fusion_einsum_param_tree_unchanged(env):
     env.setenv("TCDIFF_FUSION", "einsum")
     jax.clear_caches()
     model, params_e, io = _model_io()
-    env.setenv("TCDIFF_FUSION", "")
+    env.setenv("TCDIFF_FUSION", "dense")
     jax.clear_caches()
     model2, params_d, _ = _model_io()
     td = jax.tree.map(lambda a: (a.shape, a.dtype), params_d)
