@@ -212,8 +212,19 @@ class GaussianDiffusion:
         long_mode: bool = False,
         trj_dist=None,
         stream_prev=None,
+        forecast_every: int = 0,
     ):
-        """Shared DDIM machinery for ddim / long / footwork variants."""
+        """Shared DDIM machinery for ddim / long / footwork variants.
+
+        forecast_every >= 2 enables multistep feature forecasting (an
+        opt-in accelerator in the spirit of BlockDance / linear-multistep
+        feature forecasting for diffusion transformers, PAPERS.md): on
+        skipped steps the denoiser's x0 prediction is extrapolated
+        linearly from the previous two predictions instead of running the
+        network — `lax.cond` executes only one branch, so a cadence of 2
+        nearly halves the model forwards. The DDIM update, trajectory
+        imposition, and coupling run on every step unchanged; the first
+        two and the final step always use the real model. 0/1 = exact."""
         cfg = self.cfg
         buf = self.buffers
         b = x.shape[0]
@@ -280,19 +291,42 @@ class GaussianDiffusion:
         tn_arr = jnp.asarray(times_next)
         cond_cache = self.encode_cond_cfg(params, cond)  # hoisted: t-independent
 
+        fc = bool(forecast_every and forecast_every >= 2)
+        use_model = np.ones(n_steps, dtype=bool)
+        if fc:
+            use_model[:] = False
+            use_model[::forecast_every] = True
+            use_model[:2] = True  # LMS needs two real predictions to start
+            use_model[-1] = True  # the returned x IS x_start on the last step
+        um_arr = jnp.asarray(use_model)
+
         def body(carry, inp):
-            xc, key = carry
+            if fc:
+                xc, key, s1, s2 = carry
+            else:
+                xc, key = carry
+                s1 = s2 = None
             i = inp
             time = t_arr[i]
             time_next = tn_arr[i]
             weight = w_arr[i]
 
             t_vec = jnp.full((b,), time, dtype=jnp.int32)
-            x_start = self.guided(
-                params, xc, cond, t_vec, weight, trj_dist, cond_cache=cond_cache
-            )
-            if cfg.clip_denoised:
-                x_start = jnp.clip(x_start, -1.0, 1.0)
+
+            def _model_xs(ops):
+                xs = self.guided(
+                    params, ops[0], cond, t_vec, weight, trj_dist, cond_cache=cond_cache
+                )
+                return jnp.clip(xs, -1.0, 1.0) if cfg.clip_denoised else xs
+
+            if fc:
+                def _forecast_xs(ops):
+                    xs = 2.0 * ops[1] - ops[2]  # AB2 extrapolation of x0-pred
+                    return jnp.clip(xs, -1.0, 1.0) if cfg.clip_denoised else xs
+
+                x_start = jax.lax.cond(um_arr[i], _model_xs, _forecast_xs, (xc, s1, s2))
+            else:
+                x_start = _model_xs((xc,))
             pred_noise = (sr[time] * xc - x_start) / srm1[time]
 
             alpha = ac[time]
@@ -341,11 +375,14 @@ class GaussianDiffusion:
                 x4 = x4.at[:, :half].set(prev_t)
                 x_new = x4.reshape(x_new.shape)
 
-            return (x_new, key), None
+            new_carry = (x_new, key, x_start, s1) if fc else (x_new, key)
+            return new_carry, None
 
-        (x, _), _ = jax.lax.scan(
-            body, (x, rng), jnp.arange(n_steps), unroll=self.cfg.scan_unroll
+        init = (x, rng, jnp.zeros_like(x), jnp.zeros_like(x)) if fc else (x, rng)
+        out_carry, _ = jax.lax.scan(
+            body, init, jnp.arange(n_steps), unroll=self.cfg.scan_unroll
         )
+        x = out_carry[0]
 
         if x_0 is not None:
             x = _impose_traj(x, x_0)
@@ -353,18 +390,26 @@ class GaussianDiffusion:
                 x = splice_footwork(x, hard=False)
         return x
 
-    def ddim_sample(self, params, shape, cond, rng, x_0=None, noise=None, trj_dist=None):
+    def ddim_sample(
+        self, params, shape, cond, rng, x_0=None, noise=None, trj_dist=None,
+        forecast_every: int = 0,
+    ):
         """50-step DDIM, eta=1 (`model/diffusion.py:386-442`).
 
         shape: (b, seq_len*dn, 151); x_0: optional (b, seq_len*dn, >=2)
         trajectory (XY in channels 0,1); noise: optional dict with "init"
         (shape) and "steps" ((S,)+shape) arrays for parity runs.
+        forecast_every: opt-in LMS feature-forecast acceleration (see
+        _ddim_scan); 0 = exact reference semantics.
         """
         k_init, k_scan = jax.random.split(rng)
         x = jax.random.normal(k_init, shape) if noise is None else jnp.asarray(noise["init"])
         step_noise = None if noise is None else jnp.asarray(noise["steps"])
         weights = np.full(self.cfg.sampling_timesteps, self.cfg.guidance_weight, np.float32)
-        return self._ddim_scan(params, cond, x, k_scan, weights, x_0, step_noise, trj_dist=trj_dist)
+        return self._ddim_scan(
+            params, cond, x, k_scan, weights, x_0, step_noise, trj_dist=trj_dist,
+            forecast_every=forecast_every,
+        )
 
     def long_ddim_sample(self, params, shape, cond, rng, x_0=None, noise=None):
         """Sliced long-form DDIM with in-loop half-window coupling and a
