@@ -76,6 +76,15 @@ def _ln_kwargs() -> dict:
     return {}
 
 
+def _use_pallas_lnmm() -> bool:
+    """TCDIFF_PALLAS_LNMM=1 fuses the decoder layer's norm3->linear1 and
+    norm4->linear3 LayerNorm+projection pairs into one Pallas kernel
+    (ops/fused_ln_matmul.py) on the deterministic path."""
+    import os
+
+    return os.environ.get("TCDIFF_PALLAS_LNMM", "0") == "1"
+
+
 def _fusion_einsum() -> bool:
     """Default: compute the fusion projection as dancer-blocked einsums on a
     (b, seq, dn, d) view instead of reshaping the token stream
@@ -353,8 +362,16 @@ class FiLMTransformerDecoderLayer(nn.Module):
         x = x + featurewise_affine(ca, DenseFiLM(d, self.dtype, name="film2")(t))
 
         # feed-forward + FiLM(t)
-        h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
+        fuse_lnmm = deterministic and _use_pallas_lnmm()
+        if fuse_lnmm:
+            from tcdiff_tpu.ops.fused_ln_matmul import fused_ln_matmul
+
+            s3, b3 = _LNParams(d, name="norm3")()
+            k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
+            h = fused_ln_matmul(x, s3, b3, k1.astype(self.dtype), bb1, eps=1e-5)
+        else:
+            h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+            h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(d, dtype=self.dtype, name="linear2")(h)
@@ -362,9 +379,14 @@ class FiLMTransformerDecoderLayer(nn.Module):
         x = x + featurewise_affine(h, DenseFiLM(d, self.dtype, name="film3")(t))
 
         # the reference ends every layer with linear3(norm4(x)) (`model/model.py:344`)
-        x = nn.Dense(d, dtype=self.dtype, name="linear3")(
-            nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm4")(x)
-        )
+        if fuse_lnmm:
+            s4, b4 = _LNParams(d, name="norm4")()
+            k3, bb3 = _DenseParams(d, d, name="linear3")()
+            x = fused_ln_matmul(x, s4, b4, k3.astype(self.dtype), bb3, eps=1e-5)
+        else:
+            x = nn.Dense(d, dtype=self.dtype, name="linear3")(
+                nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm4")(x)
+            )
 
         # ConcatSquash trajectory modulation. In the reference this result is
         # computed then dropped (`model/model.py:351-355` assigns `out`,

@@ -119,3 +119,28 @@ def test_ln_bf16_close_in_bf16(env):
     out = model.apply({"params": params}, x, cond, t)
     # bf16 stats over 512 channels: expect agreement to bf16 resolution
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05, rtol=0.05)
+
+
+def test_pallas_lnmm_matches_flax(env):
+    """TCDIFF_PALLAS_LNMM=1 (fused LN->projection) must match the flax path
+    to dot-accumulation tolerance, sharing the same param tree."""
+    model, params, io = _model_io()
+    env.setenv("TCDIFF_PALLAS_LNMM", "0")
+    ref = model.apply({"params": params}, *io)
+    env.setenv("TCDIFF_PALLAS_LNMM", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_lnmm_param_tree_unchanged(env):
+    env.setenv("TCDIFF_PALLAS_LNMM", "1")
+    jax.clear_caches()
+    model, params_p, _ = _model_io()
+    env.setenv("TCDIFF_PALLAS_LNMM", "0")
+    jax.clear_caches()
+    _, params_f, _ = _model_io()
+    tp = jax.tree.map(lambda a: (a.shape, a.dtype), params_p)
+    tf = jax.tree.map(lambda a: (a.shape, a.dtype), params_f)
+    assert jax.tree.structure(tp) == jax.tree.structure(tf)
+    assert jax.tree.leaves(tp) == jax.tree.leaves(tf)
