@@ -139,13 +139,24 @@ def bench_train():
         state, m = step(state, xs, cs, key)
         float(m["total"])
     dt = (time.perf_counter() - t0) / reps
+    # anchor: measured train-step A100 extrapolation
+    # (tools/measure_train_baseline.py); ratio to the plain reference, no 5x
+    # bar declared for training
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            anchor = float(json.load(f)["train"]["a100_anchor_samples_per_s"])
+    except (OSError, KeyError, ValueError):
+        anchor = None
+    samples_per_s = batch / dt
     print(
         json.dumps(
             {
                 "metric": f"train_steps/sec (batch {batch}, 3 dancers)",
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/s",
-                "vs_baseline": round((1.0 / dt) / 1.0, 3),
+                "vs_baseline": round(samples_per_s / anchor, 3) if anchor else round(1.0 / dt, 3),
+                "train_samples_per_s": round(samples_per_s, 1),
             }
         )
     )

@@ -85,6 +85,34 @@ def _use_pallas_lnmm() -> bool:
     return os.environ.get("TCDIFF_PALLAS_LNMM", "0") == "1"
 
 
+def _use_pallas_lnrot() -> bool:
+    """TCDIFF_PALLAS_LNROT=1 fuses the decoder layer's norm1 -> rotary ->
+    q/k/v and norm2 -> rotary -> q LayerNorm+rotation+projection chains into
+    one Pallas kernel each (ops/fused_ln_rotary_matmul.py) on the
+    deterministic path — the normalized and rotated activations never touch
+    HBM."""
+    import os
+
+    return os.environ.get("TCDIFF_PALLAS_LNROT", "0") == "1"
+
+
+class _DenseKernel(nn.Module):
+    """Parameter-only stand-in for a bias-free nn.Dense (param name
+    "kernel"), so fused projection paths share checkpoints."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+
+
 def _fusion_einsum() -> bool:
     """Default: compute the fusion projection as dancer-blocked einsums on a
     (b, seq, dn, d) view instead of reshaping the token stream
@@ -199,14 +227,49 @@ class SBIMSA(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q_in, k_in, v_in, shared_emb=None, trj_dist=None, *, deterministic=True):
-        b, lq = q_in.shape[0], q_in.shape[1]
-        lk = k_in.shape[1]
+    def __call__(
+        self, q_in, k_in, v_in, shared_emb=None, trj_dist=None, *,
+        deterministic=True, prenorm=None,
+    ):
         h, dk = self.n_head, self.dk
+        if prenorm is not None:
+            # fused LN -> rotary -> projection path (TCDIFF_PALLAS_LNROT=1):
+            # the caller passes the RAW residual stream + its LN params +
+            # the rotary angle table instead of pre-normalized inputs
+            from tcdiff_tpu.ops.fused_ln_rotary_matmul import fused_ln_rotary_matmul
 
-        q = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_qs")(q_in)
-        k = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_ks")(k_in)
-        v = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_vs")(v_in)
+            x_raw, s_ln, b_ln, angles, eps = prenorm
+            b, lq = x_raw.shape[0], x_raw.shape[1]
+            wq = _DenseKernel(x_raw.shape[-1], h * dk, name="w_qs")()
+            if k_in is None:
+                # self-attention: q,k rotated + v plain, all in one kernel
+                wk = _DenseKernel(x_raw.shape[-1], h * dk, name="w_ks")()
+                wv = _DenseKernel(x_raw.shape[-1], h * dk, name="w_vs")()
+                qk_cat, v = fused_ln_rotary_matmul(
+                    x_raw,
+                    s_ln,
+                    b_ln,
+                    angles,
+                    jnp.concatenate([wq, wk], axis=1).astype(self.dtype),
+                    wv.astype(self.dtype),
+                    eps=eps,
+                )
+                q, k = jnp.split(qk_cat, 2, axis=-1)
+                lk = lq
+            else:
+                # cross-attention: only the query side is LN'd+rotated here
+                q = fused_ln_rotary_matmul(
+                    x_raw, s_ln, b_ln, angles, wq.astype(self.dtype), None, eps=eps
+                )
+                lk = k_in.shape[1]
+                k = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_ks")(k_in)
+                v = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_vs")(v_in)
+        else:
+            b, lq = q_in.shape[0], q_in.shape[1]
+            lk = k_in.shape[1]
+            q = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_qs")(q_in)
+            k = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_ks")(k_in)
+            v = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_vs")(v_in)
         q = q.reshape(b, lq, h, dk).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
@@ -331,6 +394,9 @@ class FiLMTransformerDecoderLayer(nn.Module):
     dropout: float = 0.1
     use_traj_modulation: bool = False
     dtype: jnp.dtype = jnp.float32
+    # the reference hardcodes d_k=64 (`model/model.py:55,532`); configurable
+    # so small test configs stay consistent with the TRPE table sizing
+    head_dim: int = 64
 
     @nn.compact
     def __call__(self, x, memory, t, traj_emb, shared_emb, trj_dist=None, *, deterministic=True):
@@ -338,26 +404,42 @@ class FiLMTransformerDecoderLayer(nn.Module):
         angles_x = jnp.asarray(rotary_freqs(x.shape[-2], d))
         angles_m = jnp.asarray(rotary_freqs(memory.shape[-2], d))
 
+        fuse_lnrot = deterministic and _use_pallas_lnrot()
+
         # self-attention + FiLM(t)
-        h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        qk = apply_rotary(h, angles_x)
-        sa = SBIMSA(self.n_head, d, 64, self.dropout, self.dtype, name="self_attn")(
-            qk, qk, h, shared_emb, trj_dist, deterministic=deterministic
-        )
+        if fuse_lnrot:
+            s1, b1 = _LNParams(d, name="norm1")()
+            sa = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="self_attn")(
+                None, None, None, shared_emb, trj_dist,
+                deterministic=deterministic, prenorm=(x, s1, b1, angles_x, 1e-5),
+            )
+        else:
+            h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+            qk = apply_rotary(h, angles_x)
+            sa = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="self_attn")(
+                qk, qk, h, shared_emb, trj_dist, deterministic=deterministic
+            )
         sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
         x = x + featurewise_affine(sa, DenseFiLM(d, self.dtype, name="film1")(t))
 
         # cross-attention to music/time tokens + FiLM(t)
-        h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        q = apply_rotary(h, angles_x)
-        k = apply_rotary(memory, angles_m)
         # trj_dist applies only to dancer-token self-attention: the reference
         # forwards it to cross-attention too (`model/model.py:331-333`) but its
         # gather shapes are only consistent for query-length keys, and no
         # reference entry point ever passes a non-None trj_dist.
-        ca = SBIMSA(self.n_head, d, 64, self.dropout, self.dtype, name="multihead_attn")(
-            q, k, memory, shared_emb, None, deterministic=deterministic
-        )
+        k = apply_rotary(memory, angles_m)
+        if fuse_lnrot:
+            s2, b2 = _LNParams(d, name="norm2")()
+            ca = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="multihead_attn")(
+                None, k, memory, shared_emb, None,
+                deterministic=deterministic, prenorm=(x, s2, b2, angles_x, 1e-5),
+            )
+        else:
+            h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+            q = apply_rotary(h, angles_x)
+            ca = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="multihead_attn")(
+                q, k, memory, shared_emb, None, deterministic=deterministic
+            )
         ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
         x = x + featurewise_affine(ca, DenseFiLM(d, self.dtype, name="film2")(t))
 
@@ -565,6 +647,7 @@ class DanceDecoder(nn.Module):
                 cfg.dropout,
                 self.use_traj_modulation,
                 self.dtype,
+                cfg.head_dim,
                 name=f"decoder_{i}",
             )
             if self.remat:

@@ -56,13 +56,18 @@ def fused_ln_matmul(x, scale, bias, w, b, eps: float = 1e-5):
         rows *= s
     x2 = x.reshape(rows, d_in)
 
-    # row block bounded by VMEM (in + out + f32 temps + weights)
+    # row block bounded by VMEM (in + out + f32 temps + weights). Mosaic
+    # requires the block's sublane dim be a multiple of the dtype tile (8 for
+    # f32, 16 for bf16) unless it equals the full array dim — use 32 to cover
+    # all dtypes. The grid may leave a partial final block: LN is row-wise,
+    # so the padded garbage rows never affect stored rows.
     budget = 4 * 1024 * 1024
     max_rows = max(256, budget // ((d_in + d_out) * 8))
-    block = rows
-    while block > max_rows or rows % block != 0:
-        block -= 1
-    grid = (rows // block,)
+    if rows <= max_rows:
+        block = rows
+    else:
+        block = max(32, (max_rows // 32) * 32)
+    grid = (pl.cdiv(rows, block),)
 
     out = pl.pallas_call(
         functools.partial(_lnmm_kernel, eps=eps),

@@ -144,3 +144,42 @@ def test_pallas_lnmm_param_tree_unchanged(env):
     tf = jax.tree.map(lambda a: (a.shape, a.dtype), params_f)
     assert jax.tree.structure(tp) == jax.tree.structure(tf)
     assert jax.tree.leaves(tp) == jax.tree.leaves(tf)
+
+
+def test_pallas_lnrot_matches_flax(env):
+    """TCDIFF_PALLAS_LNROT=1 (fused LN->rotary->q/k/v) must match the flax
+    path to dot-accumulation tolerance, sharing the same param tree."""
+    model, params, io = _model_io()
+    env.setenv("TCDIFF_PALLAS_LNROT", "0")
+    ref = model.apply({"params": params}, *io)
+    env.setenv("TCDIFF_PALLAS_LNROT", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_lnrot_with_trpe_matches_flax(env):
+    """The fused projections must feed the TRPE gather-bias path unchanged."""
+    model, params, (x, cond, t) = _model_io()
+    tokens = x.shape[1]
+    rng = np.random.default_rng(7)
+    trj = jnp.asarray(rng.integers(0, 10, size=(2, tokens, tokens)), jnp.int32)
+    env.setenv("TCDIFF_PALLAS_LNROT", "0")
+    ref = model.apply({"params": params}, x, cond, t, None, trj)
+    env.setenv("TCDIFF_PALLAS_LNROT", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, x, cond, t, None, trj)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_lnrot_param_tree_unchanged(env):
+    env.setenv("TCDIFF_PALLAS_LNROT", "1")
+    jax.clear_caches()
+    model, params_p, _ = _model_io()
+    env.setenv("TCDIFF_PALLAS_LNROT", "0")
+    jax.clear_caches()
+    _, params_f, _ = _model_io()
+    tp = jax.tree.map(lambda a: (a.shape, a.dtype), params_p)
+    tf = jax.tree.map(lambda a: (a.shape, a.dtype), params_f)
+    assert jax.tree.structure(tp) == jax.tree.structure(tf)
+    assert jax.tree.leaves(tp) == jax.tree.leaves(tf)

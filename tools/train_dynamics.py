@@ -60,6 +60,18 @@ def _fk(flat, normalizer, dn):
     )
 
 
+_SAMPLE_FN = {}
+
+
+def _sample_jit(diff):
+    """One jitted sampler per diffusion object — the pre- and post-training
+    evals must share the compiled executable (a fresh jax.jit wrapper per
+    call recompiles: ~10-15 min each through the axon tunnel)."""
+    if diff not in _SAMPLE_FN:
+        _SAMPLE_FN[diff] = jax.jit(diff.ddim_sample, static_argnums=(1,))
+    return _SAMPLE_FN[diff]
+
+
 def eval_metrics(diff, model, params, normalizer, eval_x, eval_cond, key):
     """Sample with GT trajectories (val_without_TrajModel semantics,
     `TCDiff.py:382-402`) and score vs the ground-truth clips."""
@@ -70,9 +82,7 @@ def eval_metrics(diff, model, params, normalizer, eval_x, eval_cond, key):
     xy = jnp.transpose(eval_x[..., 4:6], (0, 2, 1, 3)).reshape(b, s * dn, 2)
     x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
     shape = (b, s * dn, c)
-    sample = jax.jit(diff.ddim_sample, static_argnums=(1,))(
-        params, shape, jnp.asarray(eval_cond), key, x_0
-    )
+    sample = _sample_jit(diff)(params, shape, jnp.asarray(eval_cond), key, x_0)
     gen = _fk(sample, normalizer, dn)
     gt_flat = jnp.transpose(jnp.asarray(eval_x), (0, 2, 1, 3)).reshape(b, s * dn, c)
     ref = _fk(gt_flat, normalizer, dn)
