@@ -164,11 +164,12 @@ def train_dbn(log):
     from tcdiff_tpu.trajdecoder.trainer import TrajTrainer
 
     iters = int(os.environ.get("DYN_DBN_ITERS", "2000"))
+    print_iter = int(os.environ.get("DYN_DBN_PRINT", "200"))
     tcfg = (
         TrajDecoderConfig(print_iter=50, window_size=8, step=4, trans_layer=1,
                           latent_dim=16)
         if TINY
-        else TrajDecoderConfig(print_iter=200)
+        else TrajDecoderConfig(print_iter=print_iter)
     )
     trainer = TrajTrainer(tcfg, dancer_num=3)
     train_ds = SyntheticTrajDataset(128, 3, seq_len=16 if TINY else 150, seed=42)
@@ -196,7 +197,8 @@ def main():
         out.flush()
 
     summary = {}
-    summary.update(train_denoiser(log))
+    if os.environ.get("DYN_SKIP_DENOISER", "0") != "1":
+        summary.update(train_denoiser(log))
     try:
         summary.update(train_dbn(log))
     except Exception as e:  # DBN trainer API may differ; denoiser is the core
