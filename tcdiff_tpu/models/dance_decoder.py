@@ -85,6 +85,17 @@ def _use_pallas_lnmm() -> bool:
     return os.environ.get("TCDIFF_PALLAS_LNMM", "0") == "1"
 
 
+def _use_int8() -> bool:
+    """TCDIFF_INT8=1 routes the decoder layers' hot projections (q/k/v/out,
+    FF linear1/2/3) through int8 MXU matmuls on the deterministic path —
+    ops/int8.py. v5e int8 peak is 2x bf16. Changes numerics (opt-in,
+    serving only); not combinable with the Pallas fusion flags (those paths
+    keep their own precision)."""
+    import os
+
+    return os.environ.get("TCDIFF_INT8", "0") == "1"
+
+
 def _use_pallas_lnrot() -> bool:
     """TCDIFF_PALLAS_LNROT=1 fuses the decoder layer's norm1 -> rotary ->
     q/k/v and norm2 -> rotary -> q LayerNorm+rotation+projection chains into
@@ -267,9 +278,16 @@ class SBIMSA(nn.Module):
         else:
             b, lq = q_in.shape[0], q_in.shape[1]
             lk = k_in.shape[1]
-            q = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_qs")(q_in)
-            k = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_ks")(k_in)
-            v = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_vs")(v_in)
+            if deterministic and _use_int8():
+                from tcdiff_tpu.ops.int8 import int8_dense
+
+                q = int8_dense(q_in, _DenseKernel(q_in.shape[-1], h * dk, name="w_qs")())
+                k = int8_dense(k_in, _DenseKernel(k_in.shape[-1], h * dk, name="w_ks")())
+                v = int8_dense(v_in, _DenseKernel(v_in.shape[-1], h * dk, name="w_vs")())
+            else:
+                q = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_qs")(q_in)
+                k = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_ks")(k_in)
+                v = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_vs")(v_in)
         q = q.reshape(b, lq, h, dk).transpose(0, 2, 1, 3)
         k = k.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
         v = v.reshape(b, lk, h, dk).transpose(0, 2, 1, 3)
@@ -305,7 +323,12 @@ class SBIMSA(nn.Module):
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * dk)
-        out = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="fc")(out)
+        if deterministic and _use_int8():
+            from tcdiff_tpu.ops.int8 import int8_dense
+
+            out = int8_dense(out, _DenseKernel(h * dk, self.d_model, name="fc")())
+        else:
+            out = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         if deterministic and _use_pallas_ln():
             from tcdiff_tpu.ops.fused_layernorm import fused_layernorm
@@ -445,18 +468,29 @@ class FiLMTransformerDecoderLayer(nn.Module):
 
         # feed-forward + FiLM(t)
         fuse_lnmm = deterministic and _use_pallas_lnmm()
+        quant = deterministic and _use_int8()
+        if quant:
+            from tcdiff_tpu.ops.int8 import int8_dense
         if fuse_lnmm:
             from tcdiff_tpu.ops.fused_ln_matmul import fused_ln_matmul
 
             s3, b3 = _LNParams(d, name="norm3")()
             k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
             h = fused_ln_matmul(x, s3, b3, k1.astype(self.dtype), bb1, eps=1e-5)
+        elif quant:
+            h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+            k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
+            h = int8_dense(h, k1, bb1)
         else:
             h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
             h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(d, dtype=self.dtype, name="linear2")(h)
+        if quant:
+            k2q, bb2 = _DenseParams(self.ff_size, d, name="linear2")()
+            h = int8_dense(h, k2q, bb2)
+        else:
+            h = nn.Dense(d, dtype=self.dtype, name="linear2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + featurewise_affine(h, DenseFiLM(d, self.dtype, name="film3")(t))
 
@@ -465,6 +499,12 @@ class FiLMTransformerDecoderLayer(nn.Module):
             s4, b4 = _LNParams(d, name="norm4")()
             k3, bb3 = _DenseParams(d, d, name="linear3")()
             x = fused_ln_matmul(x, s4, b4, k3.astype(self.dtype), bb3, eps=1e-5)
+        elif quant:
+            k3, bb3 = _DenseParams(d, d, name="linear3")()
+            x = int8_dense(
+                nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm4")(x),
+                k3, bb3,
+            )
         else:
             x = nn.Dense(d, dtype=self.dtype, name="linear3")(
                 nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm4")(x)

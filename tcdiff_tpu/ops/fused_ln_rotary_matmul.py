@@ -54,18 +54,22 @@ def _ln_rot(x_ref, scale_ref, bias_ref, cos_ref, ssin_ref, eps):
 
 def _kernel(x_ref, scale_ref, bias_ref, cos_ref, ssin_ref, wr_ref, wp_ref,
             qk_ref, v_ref, *, eps):
-    y = _ln_rot(x_ref, scale_ref, bias_ref, cos_ref, ssin_ref, eps).astype(wr_ref.dtype)
+    # Rotary stays in f32: Mosaic's lane rotate only supports 32-bit types
+    # ("Rotate with non-32-bit data" otherwise); cast at the MXU edge.
+    y = _ln_rot(x_ref, scale_ref, bias_ref, cos_ref, ssin_ref, eps)
     # rotary on the full model vector (roll layout): y*cos + swap(y)*(sign*sin)
     r = y * cos_ref[:].astype(y.dtype) + _swap_pairs_lanes(y) * ssin_ref[:].astype(y.dtype)
+    r = r.astype(wr_ref.dtype)
+    y = y.astype(wr_ref.dtype)
     qk_ref[0] = jnp.dot(r, wr_ref[:], preferred_element_type=jnp.float32).astype(qk_ref.dtype)
     v_ref[0] = jnp.dot(y, wp_ref[:], preferred_element_type=jnp.float32).astype(v_ref.dtype)
 
 
 def _kernel_rot_only(x_ref, scale_ref, bias_ref, cos_ref, ssin_ref, wr_ref,
                      qk_ref, *, eps):
-    y = _ln_rot(x_ref, scale_ref, bias_ref, cos_ref, ssin_ref, eps).astype(wr_ref.dtype)
+    y = _ln_rot(x_ref, scale_ref, bias_ref, cos_ref, ssin_ref, eps)
     r = y * cos_ref[:].astype(y.dtype) + _swap_pairs_lanes(y) * ssin_ref[:].astype(y.dtype)
-    qk_ref[0] = jnp.dot(r, wr_ref[:], preferred_element_type=jnp.float32).astype(qk_ref.dtype)
+    qk_ref[0] = jnp.dot(r.astype(wr_ref.dtype), wr_ref[:], preferred_element_type=jnp.float32).astype(qk_ref.dtype)
 
 
 def _tables(x, angles, d):
