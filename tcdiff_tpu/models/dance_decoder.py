@@ -85,6 +85,55 @@ def _use_pallas_lnmm() -> bool:
     return os.environ.get("TCDIFF_PALLAS_LNMM", "0") == "1"
 
 
+def _flag_default_on_tpu(name: str) -> bool:
+    """Fusion flags that measured FASTER than XLA on the TPU default to ON
+    there and OFF elsewhere (CPU tests/interpret mode pay kernel-emulation
+    cost for no benefit). The env var overrides either way ("1"/"0")."""
+    import os
+
+    v = os.environ.get(name)
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _use_pallas_sab() -> bool:
+    """TCDIFF_PALLAS_SAB computes each decoder layer's ENTIRE self-attention
+    block (norm1 -> rotary -> q/k/v -> attention [+TRPE] -> out-proj ->
+    post-attention LayerNorm) as one VMEM-resident Pallas program
+    (ops/fused_sa_block.py) on the deterministic path. Default ON on TPU:
+    measured 138.5/133.1 vs 132.4 control, and +19% combined with FFB
+    (BENCH_NOTES.md round-2 block-fusion sweep)."""
+    return _flag_default_on_tpu("TCDIFF_PALLAS_SAB")
+
+
+class _SAParams(nn.Module):
+    """Parameter-only stand-in matching SBIMSA's projection/LayerNorm param
+    tree (w_qs/w_ks/w_vs/fc kernels + layer_norm scale/bias), so the fused
+    self-attention block shares checkpoints with the flax module."""
+
+    d_model: int
+    hd: int
+
+    @nn.compact
+    def __call__(self):
+        wq = _DenseKernel(self.d_model, self.hd, name="w_qs")()
+        wk = _DenseKernel(self.d_model, self.hd, name="w_ks")()
+        wv = _DenseKernel(self.d_model, self.hd, name="w_vs")()
+        fc = _DenseKernel(self.hd, self.d_model, name="fc")()
+        s2, b2 = _LNParams(self.d_model, name="layer_norm")()
+        return wq, wk, wv, fc, s2, b2
+
+
+def _use_pallas_ffb() -> bool:
+    """TCDIFF_PALLAS_FFB computes each decoder layer's feed-forward block
+    (norm3 -> linear1 -> exact GELU -> linear2) as one VMEM-resident Pallas
+    program (ops/fused_ff_block.py) on the deterministic path. Default ON
+    on TPU: measured 152.1 alone and 157.35 with SAB vs 132.4 control
+    (BENCH_NOTES.md round-2 block-fusion sweep)."""
+    return _flag_default_on_tpu("TCDIFF_PALLAS_FFB")
+
+
 def _use_int8() -> bool:
     """TCDIFF_INT8=1 routes the decoder layers' hot projections (q/k/v/out,
     FF linear1/2/3) through int8 MXU matmuls on the deterministic path —
@@ -430,7 +479,19 @@ class FiLMTransformerDecoderLayer(nn.Module):
         fuse_lnrot = deterministic and _use_pallas_lnrot()
 
         # self-attention + FiLM(t)
-        if fuse_lnrot:
+        if deterministic and _use_pallas_sab():
+            from tcdiff_tpu.ops.fused_sa_block import fused_sa_block
+
+            s1, b1 = _LNParams(d, name="norm1")()
+            wq, wk, wv, fc, s2, b2 = _SAParams(d, self.n_head * self.head_dim, name="self_attn")()
+            sa = fused_sa_block(
+                x, s1, b1, angles_x,
+                wq.astype(self.dtype), wk.astype(self.dtype), wv.astype(self.dtype),
+                fc.astype(self.dtype), s2, b2,
+                shared_emb if trj_dist is not None else None, trj_dist,
+                nhead=self.n_head,
+            )
+        elif fuse_lnrot:
             s1, b1 = _LNParams(d, name="norm1")()
             sa = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="self_attn")(
                 None, None, None, shared_emb, trj_dist,
@@ -471,31 +532,45 @@ class FiLMTransformerDecoderLayer(nn.Module):
         quant = deterministic and _use_int8()
         if quant:
             from tcdiff_tpu.ops.int8 import int8_dense
-        if fuse_lnmm:
-            from tcdiff_tpu.ops.fused_ln_matmul import fused_ln_matmul
+        if deterministic and _use_pallas_ffb():
+            from tcdiff_tpu.ops.fused_ff_block import fused_ff_block
 
             s3, b3 = _LNParams(d, name="norm3")()
             k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
-            h = fused_ln_matmul(x, s3, b3, k1.astype(self.dtype), bb1, eps=1e-5)
-        elif quant:
-            h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-            k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
-            h = int8_dense(h, k1, bb1)
+            k2f, bb2f = _DenseParams(self.ff_size, d, name="linear2")()
+            h = fused_ff_block(
+                x, s3, b3,
+                k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
+                eps=1e-5,
+            )
         else:
-            h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-            h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
-        h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        if quant:
-            k2q, bb2 = _DenseParams(self.ff_size, d, name="linear2")()
-            h = int8_dense(h, k2q, bb2)
-        else:
-            h = nn.Dense(d, dtype=self.dtype, name="linear2")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            if fuse_lnmm:
+                from tcdiff_tpu.ops.fused_ln_matmul import fused_ln_matmul
+
+                s3, b3 = _LNParams(d, name="norm3")()
+                k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
+                h = fused_ln_matmul(x, s3, b3, k1.astype(self.dtype), bb1, eps=1e-5)
+            elif quant:
+                h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+                k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
+                h = int8_dense(h, k1, bb1)
+            else:
+                h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+                h = nn.Dense(self.ff_size, dtype=self.dtype, name="linear1")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            if quant:
+                k2q, bb2 = _DenseParams(self.ff_size, d, name="linear2")()
+                h = int8_dense(h, k2q, bb2)
+            else:
+                h = nn.Dense(d, dtype=self.dtype, name="linear2")(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + featurewise_affine(h, DenseFiLM(d, self.dtype, name="film3")(t))
 
         # the reference ends every layer with linear3(norm4(x)) (`model/model.py:344`)
         if fuse_lnmm:
+            from tcdiff_tpu.ops.fused_ln_matmul import fused_ln_matmul
+
             s4, b4 = _LNParams(d, name="norm4")()
             k3, bb3 = _DenseParams(d, d, name="linear3")()
             x = fused_ln_matmul(x, s4, b4, k3.astype(self.dtype), bb3, eps=1e-5)

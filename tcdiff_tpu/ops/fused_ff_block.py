@@ -1,0 +1,107 @@
+"""Pallas TPU kernel: the decoder layer's feed-forward block in one
+VMEM-resident program per batch element.
+
+Fuses LayerNorm(eps 1e-5) -> linear1 -> exact GELU -> linear2 — the chain
+the reference runs as four modules (`/root/reference/model/model.py:318-343`,
+norm3/linear1/activation/linear2). Same design rationale as
+ops/fused_sa_block.py: one program reads the residual stream and both
+weight matrices once and writes only the final (L, d) result; the
+normalized and hidden activations never touch HBM.
+
+Numerics: LN stats and matmul accumulations in f32, GELU exact
+(erf form, matching jax.nn.gelu(approximate=False)), MXU inputs cast to
+the weights' compute dtype like the unfused path.
+
+Opt-in via TCDIFF_PALLAS_FFB=1, deterministic (serving) path only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _ln(x, scale, bias, eps):
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+_ERF_ALPHA = (0.00022905065861350646, 0.0034082910107109506, 0.050955695062380861,
+              0.18520832239976145, 1.128379143519084)
+_ERF_BETA = (-1.1791602954361697e-7, 0.000023547966471313185, 0.0010179625278914885,
+             0.014070470171167667, 0.11098505178285362, 0.49746925110067538, 1.0)
+
+
+def _erf_f32(x):
+    """XLA's own f32 erf rational approximation (x*P(x^2)/Q(x^2), |x|
+    clamped to 4) — Mosaic implements neither erf nor erfc, so the kernel
+    inlines the same polynomial XLA lowers `lax.erf` to, keeping the fused
+    path numerically aligned with the unfused one (~1 ulp)."""
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    p = jnp.float32(_ERF_ALPHA[0])
+    for c in _ERF_ALPHA[1:]:
+        p = p * x2 + jnp.float32(c)
+    q = jnp.float32(_ERF_BETA[0])
+    for c in _ERF_BETA[1:]:
+        q = q * x2 + jnp.float32(c)
+    return x * p / q
+
+
+def _gelu_exact(x):
+    """0.5*x*(1+erf(x/sqrt(2))) == jax.nn.gelu(approximate=False) in f32."""
+    return 0.5 * x * (1.0 + _erf_f32(x * jnp.float32(0.7071067811865476)))
+
+
+def _ff_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, eps):
+    y = _ln(x_ref[0], s_ref[:], b_ref[:], eps).astype(w1_ref.dtype)
+    h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    h = _gelu_exact(h).astype(w2_ref.dtype)
+    o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def fused_ff_block(x, scale, bias, w1, b1, w2, b2, eps: float = 1e-5):
+    """linear2(gelu(linear1(LN(x)))) in one VMEM-resident pass.
+
+    x: (b, L, d); scale/bias: (d,) LN affine; w1: (d, ff) + b1: (ff,);
+    w2: (ff, d) + b2: (d,) in the COMPUTE dtype. Matches the flax chain to
+    dot-accumulation tolerance.
+    """
+    b, L, d = x.shape
+    ff = w1.shape[-1]
+
+    return pl.pallas_call(
+        functools.partial(_ff_kernel, eps=eps),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ff,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ff, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * d * ff * 2,
+            bytes_accessed=4 * L * d * 2 + 2 * 2 * d * ff,
+            transcendentals=L * ff,
+        ),
+        interpret=_interpret(),
+    )(x, scale, bias, w1, b1, w2, b2)

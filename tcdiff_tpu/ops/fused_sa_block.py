@@ -1,0 +1,163 @@
+"""Pallas TPU kernel: the ENTIRE SBI-MSA self-attention block in one
+VMEM-resident program per batch element.
+
+Fuses the full chain the reference computes as seven separate modules
+(`/root/reference/model/model.py:54-107,318-327`):
+
+    LayerNorm(eps 1e-5) -> rotary (roll layout, full model dim)
+      -> q/k/v projections -> per-head attention [+ TRPE bucket bias]
+      -> out projection -> LayerNorm(eps 1e-6)
+
+Rationale (BENCH_NOTES.md): op-local Pallas kernels (attention-only, LN-only,
+LN+matmul) all LOST to XLA because each pallas_call boundary breaks XLA's
+surrounding elementwise fusions; the LN->rotary->QKV kernel
+(ops/fused_ln_rotary_matmul.py) was the first to reach parity. This kernel
+extends that fusion through the attention and output projection so the
+normalized/rotated activations, q/k/v, the (L, L) logits, and the attention
+output never touch HBM — the block reads x and the weights once and writes
+only the final (L, d) result.
+
+Numerics: LN statistics, rotary, logits, softmax, and all matmul
+accumulations in f32; MXU inputs cast to the weights' compute dtype
+(bf16 in the bench path) exactly like the unfused path. The TRPE bias uses
+UNSCALED q (reference quirk, `model/model.py:82-94`) and is realized as a
+(L, dk) @ (dk, 10) contraction + 10 predicated adds (no gather), the same
+scheme as ops/fused_attention.py.
+
+Head handling: q/k/v are produced as (L, h*dk) by single full-width
+matmuls (MXU-efficient), then each head takes a static 64-wide lane slice.
+
+Opt-in via TCDIFF_PALLAS_SAB=1, deterministic (serving) path only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tcdiff_tpu.ops.fused_ln_rotary_matmul import _swap_pairs_lanes, _tables
+
+N_TRJ_BUCKETS = 10  # embeddings_table rows (`model/model.py:532`)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _ln(x, scale, bias, eps):
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _sa_block_kernel(
+    x_ref, s1_ref, b1_ref, cos_ref, ssin_ref, wq_ref, wk_ref, wv_ref,
+    wfc_ref, s2_ref, b2_ref, *rest, nhead, dk, scale, eps1, eps2, bias
+):
+    if bias:
+        table_ref, dist_ref = rest[0], rest[1]
+        o_ref = rest[2]
+    else:
+        o_ref = rest[0]
+
+    # LN1 + rotary in f32 (Mosaic lane rotate needs 32-bit data)
+    y = _ln(x_ref[0], s1_ref[:], b1_ref[:], eps1)
+    r = y * cos_ref[:].astype(y.dtype) + _swap_pairs_lanes(y) * ssin_ref[:].astype(y.dtype)
+    rc = r.astype(wq_ref.dtype)
+    yc = y.astype(wq_ref.dtype)
+
+    # full-width projections on the MXU, f32 accumulation
+    q = jnp.dot(rc, wq_ref[:], preferred_element_type=jnp.float32)
+    k = jnp.dot(rc, wk_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(yc, wv_ref[:], preferred_element_type=jnp.float32)
+
+    # per-head attention, statically unrolled; heads are 64-wide lane slices
+    outs = []
+    for i in range(nhead):
+        sl = slice(i * dk, (i + 1) * dk)
+        qi = q[:, sl].astype(wq_ref.dtype)
+        ki = k[:, sl].astype(wq_ref.dtype)
+        vi = v[:, sl].astype(wq_ref.dtype)
+        logits = jax.lax.dot_general(
+            qi * jnp.asarray(scale, qi.dtype), ki, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if bias:
+            # (L, 10): UNSCALED q against every bucket embedding of this head
+            indexed = jax.lax.dot_general(
+                qi, table_ref[:, sl].astype(qi.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dist = dist_ref[0]
+            for n in range(N_TRJ_BUCKETS):
+                logits = logits + jnp.where(dist == n, indexed[:, n : n + 1], 0.0)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vi.dtype)
+        outs.append(jnp.dot(p, vi, preferred_element_type=jnp.float32))
+    o = jnp.concatenate(outs, axis=-1)  # (L, h*dk) f32
+
+    # out projection + post-attention LayerNorm (eps 1e-6)
+    z = jnp.dot(o.astype(wfc_ref.dtype), wfc_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = _ln(z, s2_ref[:], b2_ref[:], eps2).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nhead", "eps1", "eps2"))
+def fused_sa_block(
+    x, s1, b1, angles, wq, wk, wv, wfc, s2, b2,
+    table=None, trj_dist=None, *, nhead, eps1=1e-5, eps2=1e-6,
+):
+    """SBIMSA self-attention block output for pre-norm input x.
+
+    x: (b, L, d). s1/b1: norm1 affine; angles: (L, d) rotary table;
+    wq/wk/wv: (d, h*dk); wfc: (h*dk, d); s2/b2: the block's post-attention
+    LayerNorm affine. Optional TRPE: table (n_buckets, h*dk) + trj_dist
+    (b, L, L) int32. Matches SBIMSA(rotary(LN(x)), rotary(LN(x)), LN(x))
+    on the deterministic path to dot-accumulation tolerance.
+    """
+    b, L, d = x.shape
+    hd = wq.shape[-1]
+    dk = hd // nhead
+    scale = float(1.0 / (dk ** 0.5))
+    cos, ssin = _tables(x, angles, d)
+
+    vec = lambda: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        vec(), vec(), mat(L, d), mat(L, d),
+        mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),
+        vec(), vec(),
+    ]
+    args = [x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2]
+    bias = table is not None and trj_dist is not None
+    if bias:
+        in_specs += [
+            mat(N_TRJ_BUCKETS, hd),
+            pl.BlockSpec((1, L, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [table, trj_dist.astype(jnp.int32)]
+
+    cost = pl.CostEstimate(
+        flops=2 * L * d * (3 * hd + hd) + nhead * (2 * L * L * 2 * dk),
+        bytes_accessed=4 * (L * d * 2) + 2 * (3 * d * hd + hd * d),
+        transcendentals=L * L * nhead,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _sa_block_kernel, nhead=nhead, dk=dk, scale=scale,
+            eps1=eps1, eps2=eps2, bias=bias,
+        ),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(*args)

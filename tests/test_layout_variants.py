@@ -172,6 +172,86 @@ def test_pallas_lnrot_with_trpe_matches_flax(env):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
 
 
+def test_pallas_sab_matches_flax(env):
+    """TCDIFF_PALLAS_SAB=1 (whole self-attention block in one program) must
+    match the flax path to dot-accumulation tolerance."""
+    model, params, io = _model_io()
+    env.setenv("TCDIFF_PALLAS_SAB", "0")
+    ref = model.apply({"params": params}, *io)
+    env.setenv("TCDIFF_PALLAS_SAB", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_sab_with_trpe_matches_flax(env):
+    """The in-kernel TRPE predicated-add bias must match the gather path."""
+    model, params, (x, cond, t) = _model_io()
+    tokens = x.shape[1]
+    rng = np.random.default_rng(11)
+    trj = jnp.asarray(rng.integers(0, 10, size=(2, tokens, tokens)), jnp.int32)
+    env.setenv("TCDIFF_PALLAS_SAB", "0")
+    ref = model.apply({"params": params}, x, cond, t, None, trj)
+    env.setenv("TCDIFF_PALLAS_SAB", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, x, cond, t, None, trj)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_sab_param_tree_unchanged(env):
+    env.setenv("TCDIFF_PALLAS_SAB", "1")
+    jax.clear_caches()
+    model, params_p, _ = _model_io()
+    env.setenv("TCDIFF_PALLAS_SAB", "0")
+    jax.clear_caches()
+    _, params_f, _ = _model_io()
+    tp = jax.tree.map(lambda a: (a.shape, a.dtype), params_p)
+    tf = jax.tree.map(lambda a: (a.shape, a.dtype), params_f)
+    assert jax.tree.structure(tp) == jax.tree.structure(tf)
+    assert jax.tree.leaves(tp) == jax.tree.leaves(tf)
+
+
+def test_pallas_ffb_matches_flax(env):
+    """TCDIFF_PALLAS_FFB=1 (whole FF block in one program) must match the
+    flax path to dot-accumulation tolerance."""
+    model, params, io = _model_io()
+    env.setenv("TCDIFF_PALLAS_FFB", "0")
+    ref = model.apply({"params": params}, *io)
+    env.setenv("TCDIFF_PALLAS_FFB", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_ffb_param_tree_unchanged(env):
+    env.setenv("TCDIFF_PALLAS_FFB", "1")
+    jax.clear_caches()
+    model, params_p, _ = _model_io()
+    env.setenv("TCDIFF_PALLAS_FFB", "0")
+    jax.clear_caches()
+    _, params_f, _ = _model_io()
+    tp = jax.tree.map(lambda a: (a.shape, a.dtype), params_p)
+    tf = jax.tree.map(lambda a: (a.shape, a.dtype), params_f)
+    assert jax.tree.structure(tp) == jax.tree.structure(tf)
+    assert jax.tree.leaves(tp) == jax.tree.leaves(tf)
+
+
+def test_pallas_fusion_stack_matches_flax(env):
+    """All block-fusion flags together (SAB + FFB + LNROT cross-attn +
+    LNMM linear3) must still match the flax path."""
+    model, params, io = _model_io()
+    for f in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_LNROT",
+              "TCDIFF_PALLAS_LNMM"):
+        env.setenv(f, "0")
+    ref = model.apply({"params": params}, *io)
+    for f in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_LNROT",
+              "TCDIFF_PALLAS_LNMM"):
+        env.setenv(f, "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5)
+
+
 def test_pallas_lnrot_param_tree_unchanged(env):
     env.setenv("TCDIFF_PALLAS_LNROT", "1")
     jax.clear_caches()
