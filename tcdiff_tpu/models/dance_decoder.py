@@ -125,6 +125,17 @@ class _SAParams(nn.Module):
         return wq, wk, wv, fc, s2, b2
 
 
+def _use_pallas_xab() -> bool:
+    """TCDIFF_PALLAS_XAB=1 computes each decoder layer's cross-attention
+    block (norm2 -> rotary -> q; k/v from the cond memory; attention ->
+    out-proj -> post-attention LayerNorm) as one VMEM-resident Pallas
+    program (ops/fused_ca_block.py) on the deterministic path. Opt-in
+    until it measures faster than the XLA path."""
+    import os
+
+    return os.environ.get("TCDIFF_PALLAS_XAB", "0") == "1"
+
+
 def _use_pallas_ffb() -> bool:
     """TCDIFF_PALLAS_FFB computes each decoder layer's feed-forward block
     (norm3 -> linear1 -> exact GELU -> linear2) as one VMEM-resident Pallas
@@ -512,7 +523,20 @@ class FiLMTransformerDecoderLayer(nn.Module):
         # gather shapes are only consistent for query-length keys, and no
         # reference entry point ever passes a non-None trj_dist.
         k = apply_rotary(memory, angles_m)
-        if fuse_lnrot:
+        if deterministic and _use_pallas_xab():
+            from tcdiff_tpu.ops.fused_ca_block import fused_ca_block
+
+            s2, b2 = _LNParams(d, name="norm2")()
+            cwq, cwk, cwv, cfc, cs2, cb2 = _SAParams(
+                d, self.n_head * self.head_dim, name="multihead_attn"
+            )()
+            ca = fused_ca_block(
+                x, s2, b2, angles_x, memory, k,
+                cwq.astype(self.dtype), cwk.astype(self.dtype),
+                cwv.astype(self.dtype), cfc.astype(self.dtype), cs2, cb2,
+                nhead=self.n_head,
+            )
+        elif fuse_lnrot:
             s2, b2 = _LNParams(d, name="norm2")()
             ca = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="multihead_attn")(
                 None, k, memory, shared_emb, None,

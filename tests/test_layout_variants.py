@@ -240,16 +240,41 @@ def test_pallas_fusion_stack_matches_flax(env):
     """All block-fusion flags together (SAB + FFB + LNROT cross-attn +
     LNMM linear3) must still match the flax path."""
     model, params, io = _model_io()
-    for f in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_LNROT",
-              "TCDIFF_PALLAS_LNMM"):
+    flags = ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_XAB",
+             "TCDIFF_PALLAS_LNROT", "TCDIFF_PALLAS_LNMM")
+    for f in flags:
         env.setenv(f, "0")
     ref = model.apply({"params": params}, *io)
-    for f in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_LNROT",
-              "TCDIFF_PALLAS_LNMM"):
+    for f in flags:
         env.setenv(f, "1")
     jax.clear_caches()
     out = model.apply({"params": params}, *io)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5)
+
+
+def test_pallas_xab_matches_flax(env):
+    """TCDIFF_PALLAS_XAB=1 (whole cross-attention block in one program)
+    must match the flax path to dot-accumulation tolerance."""
+    model, params, io = _model_io()
+    env.setenv("TCDIFF_PALLAS_XAB", "0")
+    ref = model.apply({"params": params}, *io)
+    env.setenv("TCDIFF_PALLAS_XAB", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_xab_param_tree_unchanged(env):
+    env.setenv("TCDIFF_PALLAS_XAB", "1")
+    jax.clear_caches()
+    model, params_p, _ = _model_io()
+    env.setenv("TCDIFF_PALLAS_XAB", "0")
+    jax.clear_caches()
+    _, params_f, _ = _model_io()
+    tp = jax.tree.map(lambda a: (a.shape, a.dtype), params_p)
+    tf = jax.tree.map(lambda a: (a.shape, a.dtype), params_f)
+    assert jax.tree.structure(tp) == jax.tree.structure(tf)
+    assert jax.tree.leaves(tp) == jax.tree.leaves(tf)
 
 
 def test_pallas_lnrot_param_tree_unchanged(env):
