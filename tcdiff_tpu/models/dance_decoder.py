@@ -125,6 +125,17 @@ class _SAParams(nn.Module):
         return wq, wk, wv, fc, s2, b2
 
 
+def _use_fuse_film() -> bool:
+    """TCDIFF_FUSE_FILM=1 folds each block's residual + FiLM featurewise
+    affine into the block-fusion kernels (SAB/XAB/FFB take the per-batch
+    FiLM rows and return x + (scale+1)*block + shift directly), removing
+    the remaining elementwise HBM round-trips per site. Only affects sites
+    whose block kernel is active."""
+    import os
+
+    return os.environ.get("TCDIFF_FUSE_FILM", "0") == "1"
+
+
 def _use_pallas_xab() -> bool:
     """TCDIFF_PALLAS_XAB=1 computes each decoder layer's cross-attention
     block (norm2 -> rotary -> q; k/v from the cond memory; attention ->
@@ -489,33 +500,43 @@ class FiLMTransformerDecoderLayer(nn.Module):
 
         fuse_lnrot = deterministic and _use_pallas_lnrot()
 
+        fuse_film = deterministic and _use_fuse_film()
+
         # self-attention + FiLM(t)
         if deterministic and _use_pallas_sab():
             from tcdiff_tpu.ops.fused_sa_block import fused_sa_block
 
             s1, b1 = _LNParams(d, name="norm1")()
             wq, wk, wv, fc, s2, b2 = _SAParams(d, self.n_head * self.head_dim, name="self_attn")()
-            sa = fused_sa_block(
+            fsc, fsh = DenseFiLM(d, self.dtype, name="film1")(t)
+            sab_args = (
                 x, s1, b1, angles_x,
                 wq.astype(self.dtype), wk.astype(self.dtype), wv.astype(self.dtype),
                 fc.astype(self.dtype), s2, b2,
                 shared_emb if trj_dist is not None else None, trj_dist,
-                nhead=self.n_head,
             )
-        elif fuse_lnrot:
-            s1, b1 = _LNParams(d, name="norm1")()
-            sa = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="self_attn")(
-                None, None, None, shared_emb, trj_dist,
-                deterministic=deterministic, prenorm=(x, s1, b1, angles_x, 1e-5),
-            )
+            if fuse_film:
+                x = fused_sa_block(
+                    *sab_args, fsc[:, 0], fsh[:, 0], nhead=self.n_head
+                )
+            else:
+                sa = fused_sa_block(*sab_args, nhead=self.n_head)
+                x = x + featurewise_affine(sa, (fsc, fsh))
         else:
-            h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-            qk = apply_rotary(h, angles_x)
-            sa = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="self_attn")(
-                qk, qk, h, shared_emb, trj_dist, deterministic=deterministic
-            )
-        sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        x = x + featurewise_affine(sa, DenseFiLM(d, self.dtype, name="film1")(t))
+            if fuse_lnrot:
+                s1, b1 = _LNParams(d, name="norm1")()
+                sa = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="self_attn")(
+                    None, None, None, shared_emb, trj_dist,
+                    deterministic=deterministic, prenorm=(x, s1, b1, angles_x, 1e-5),
+                )
+            else:
+                h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+                qk = apply_rotary(h, angles_x)
+                sa = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="self_attn")(
+                    qk, qk, h, shared_emb, trj_dist, deterministic=deterministic
+                )
+            sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+            x = x + featurewise_affine(sa, DenseFiLM(d, self.dtype, name="film1")(t))
 
         # cross-attention to music/time tokens + FiLM(t)
         # trj_dist applies only to dancer-token self-attention: the reference
@@ -530,26 +551,34 @@ class FiLMTransformerDecoderLayer(nn.Module):
             cwq, cwk, cwv, cfc, cs2, cb2 = _SAParams(
                 d, self.n_head * self.head_dim, name="multihead_attn"
             )()
-            ca = fused_ca_block(
+            fsc2, fsh2 = DenseFiLM(d, self.dtype, name="film2")(t)
+            xab_args = (
                 x, s2, b2, angles_x, memory, k,
                 cwq.astype(self.dtype), cwk.astype(self.dtype),
                 cwv.astype(self.dtype), cfc.astype(self.dtype), cs2, cb2,
-                nhead=self.n_head,
             )
-        elif fuse_lnrot:
-            s2, b2 = _LNParams(d, name="norm2")()
-            ca = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="multihead_attn")(
-                None, k, memory, shared_emb, None,
-                deterministic=deterministic, prenorm=(x, s2, b2, angles_x, 1e-5),
-            )
+            if fuse_film:
+                x = fused_ca_block(
+                    *xab_args, fsc2[:, 0], fsh2[:, 0], nhead=self.n_head
+                )
+            else:
+                ca = fused_ca_block(*xab_args, nhead=self.n_head)
+                x = x + featurewise_affine(ca, (fsc2, fsh2))
         else:
-            h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-            q = apply_rotary(h, angles_x)
-            ca = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="multihead_attn")(
-                q, k, memory, shared_emb, None, deterministic=deterministic
-            )
-        ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
-        x = x + featurewise_affine(ca, DenseFiLM(d, self.dtype, name="film2")(t))
+            if fuse_lnrot:
+                s2, b2 = _LNParams(d, name="norm2")()
+                ca = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="multihead_attn")(
+                    None, k, memory, shared_emb, None,
+                    deterministic=deterministic, prenorm=(x, s2, b2, angles_x, 1e-5),
+                )
+            else:
+                h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+                q = apply_rotary(h, angles_x)
+                ca = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="multihead_attn")(
+                    q, k, memory, shared_emb, None, deterministic=deterministic
+                )
+            ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+            x = x + featurewise_affine(ca, DenseFiLM(d, self.dtype, name="film2")(t))
 
         # feed-forward + FiLM(t)
         fuse_lnmm = deterministic and _use_pallas_lnmm()
@@ -562,11 +591,20 @@ class FiLMTransformerDecoderLayer(nn.Module):
             s3, b3 = _LNParams(d, name="norm3")()
             k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
             k2f, bb2f = _DenseParams(self.ff_size, d, name="linear2")()
-            h = fused_ff_block(
-                x, s3, b3,
-                k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
-                eps=1e-5,
-            )
+            fsc3, fsh3 = DenseFiLM(d, self.dtype, name="film3")(t)
+            if fuse_film:
+                x = fused_ff_block(
+                    x, s3, b3,
+                    k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
+                    fsc3[:, 0], fsh3[:, 0], eps=1e-5,
+                )
+            else:
+                h = fused_ff_block(
+                    x, s3, b3,
+                    k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
+                    eps=1e-5,
+                )
+                x = x + featurewise_affine(h, (fsc3, fsh3))
         else:
             if fuse_lnmm:
                 from tcdiff_tpu.ops.fused_ln_matmul import fused_ln_matmul
@@ -589,7 +627,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
             else:
                 h = nn.Dense(d, dtype=self.dtype, name="linear2")(h)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        x = x + featurewise_affine(h, DenseFiLM(d, self.dtype, name="film3")(t))
+            x = x + featurewise_affine(h, DenseFiLM(d, self.dtype, name="film3")(t))
 
         # the reference ends every layer with linear3(norm4(x)) (`model/model.py:344`)
         if fuse_lnmm:

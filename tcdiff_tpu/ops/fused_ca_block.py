@@ -40,9 +40,13 @@ def _interpret() -> bool:
 
 def _ca_block_kernel(
     x_ref, s1_ref, b1_ref, cos_ref, ssin_ref, mem_ref, mrot_ref,
-    wq_ref, wk_ref, wv_ref, wfc_ref, s2_ref, b2_ref, o_ref,
-    *, nhead, dk, scale, eps1, eps2,
+    wq_ref, wk_ref, wv_ref, wfc_ref, s2_ref, b2_ref, *rest,
+    nhead, dk, scale, eps1, eps2, film,
 ):
+    if film:
+        fs_ref, fb_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     y = _ln(x_ref[0], s1_ref[:], b1_ref[:], eps1)
     r = y * cos_ref[:].astype(y.dtype) + _swap_pairs_lanes(y) * ssin_ref[:].astype(y.dtype)
     rc = r.astype(wq_ref.dtype)
@@ -68,13 +72,20 @@ def _ca_block_kernel(
     o = jnp.concatenate(outs, axis=-1)
 
     z = jnp.dot(o.astype(wfc_ref.dtype), wfc_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0] = _ln(z, s2_ref[:], b2_ref[:], eps2).astype(o_ref.dtype)
+    ca = _ln(z, s2_ref[:], b2_ref[:], eps2)
+    if film:
+        ca = (
+            x_ref[0].astype(jnp.float32)
+            + (fs_ref[0].astype(jnp.float32) + 1.0) * ca
+            + fb_ref[0].astype(jnp.float32)
+        )
+    o_ref[0] = ca.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nhead", "eps1", "eps2"))
 def fused_ca_block(
     x, s1, b1, angles, memory, memory_rot, wq, wk, wv, wfc, s2, b2,
-    *, nhead, eps1=1e-5, eps2=1e-6,
+    film_scale=None, film_shift=None, *, nhead, eps1=1e-5, eps2=1e-6,
 ):
     """SBIMSA cross-attention block output for pre-norm input x.
 
@@ -95,18 +106,28 @@ def fused_ca_block(
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bmat = lambda r, c: pl.BlockSpec((1, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
+    in_specs = [
+        bmat(Lq, d), vec(), vec(), mat(Lq, d), mat(Lq, d),
+        bmat(Lkv, d), bmat(Lkv, d),
+        mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),
+        vec(), vec(),
+    ]
+    args = [x, s1, b1, cos, ssin, memory, memory_rot, wq, wk, wv, wfc, s2, b2]
+    film = film_scale is not None
+    if film:
+        in_specs += [
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [film_scale, film_shift]
+
     return pl.pallas_call(
         functools.partial(
             _ca_block_kernel, nhead=nhead, dk=dk, scale=scale,
-            eps1=eps1, eps2=eps2,
+            eps1=eps1, eps2=eps2, film=film,
         ),
         grid=(b,),
-        in_specs=[
-            bmat(Lq, d), vec(), vec(), mat(Lq, d), mat(Lq, d),
-            bmat(Lkv, d), bmat(Lkv, d),
-            mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),
-            vec(), vec(),
-        ],
+        in_specs=in_specs,
         out_specs=bmat(Lq, d),
         out_shape=jax.ShapeDtypeStruct((b, Lq, d), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -116,4 +137,4 @@ def fused_ca_block(
             transcendentals=Lq * Lkv * nhead,
         ),
         interpret=_interpret(),
-    )(x, s1, b1, cos, ssin, memory, memory_rot, wq, wk, wv, wfc, s2, b2)
+    )(*args)

@@ -64,38 +64,63 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf_f32(x * jnp.float32(0.7071067811865476)))
 
 
-def _ff_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, eps):
+def _ff_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest, eps, film):
+    if film:
+        fs_ref, fb_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     y = _ln(x_ref[0], s_ref[:], b_ref[:], eps).astype(w1_ref.dtype)
     h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
     h = _gelu_exact(h).astype(w2_ref.dtype)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o = o + b2_ref[:].astype(jnp.float32)
+    if film:
+        # residual + FiLM in-kernel: x + (scale+1)*ff + shift (f32)
+        o = (
+            x_ref[0].astype(jnp.float32)
+            + (fs_ref[0].astype(jnp.float32) + 1.0) * o
+            + fb_ref[0].astype(jnp.float32)
+        )
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps",))
-def fused_ff_block(x, scale, bias, w1, b1, w2, b2, eps: float = 1e-5):
+def fused_ff_block(x, scale, bias, w1, b1, w2, b2, film_scale=None,
+                   film_shift=None, eps: float = 1e-5):
     """linear2(gelu(linear1(LN(x)))) in one VMEM-resident pass.
 
     x: (b, L, d); scale/bias: (d,) LN affine; w1: (d, ff) + b1: (ff,);
     w2: (ff, d) + b2: (d,) in the COMPUTE dtype. Matches the flax chain to
-    dot-accumulation tolerance.
+    dot-accumulation tolerance. With film_scale/film_shift ((b, d) FiLM
+    rows) the kernel also applies the residual + featurewise affine and
+    returns x + (scale+1)*block + shift.
     """
     b, L, d = x.shape
     ff = w1.shape[-1]
+    film = film_scale is not None
+
+    in_specs = [
+        pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ff,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ff, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    args = [x, scale, bias, w1, b1, w2, b2]
+    if film:
+        in_specs += [
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [film_scale, film_shift]
 
     return pl.pallas_call(
-        functools.partial(_ff_kernel, eps=eps),
+        functools.partial(_ff_kernel, eps=eps, film=film),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, ff), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ff,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ff, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -104,4 +129,4 @@ def fused_ff_block(x, scale, bias, w1, b1, w2, b2, eps: float = 1e-5):
             transcendentals=L * ff,
         ),
         interpret=_interpret(),
-    )(x, scale, bias, w1, b1, w2, b2)
+    )(*args)

@@ -58,13 +58,14 @@ def _ln(x, scale, bias, eps):
 
 def _sa_block_kernel(
     x_ref, s1_ref, b1_ref, cos_ref, ssin_ref, wq_ref, wk_ref, wv_ref,
-    wfc_ref, s2_ref, b2_ref, *rest, nhead, dk, scale, eps1, eps2, bias
+    wfc_ref, s2_ref, b2_ref, *rest, nhead, dk, scale, eps1, eps2, bias, film
 ):
+    rest = list(rest)
     if bias:
-        table_ref, dist_ref = rest[0], rest[1]
-        o_ref = rest[2]
-    else:
-        o_ref = rest[0]
+        table_ref, dist_ref = rest.pop(0), rest.pop(0)
+    if film:
+        fs_ref, fb_ref = rest.pop(0), rest.pop(0)
+    o_ref = rest.pop(0)
 
     # LN1 + rotary in f32 (Mosaic lane rotate needs 32-bit data)
     y = _ln(x_ref[0], s1_ref[:], b1_ref[:], eps1)
@@ -105,13 +106,22 @@ def _sa_block_kernel(
 
     # out projection + post-attention LayerNorm (eps 1e-6)
     z = jnp.dot(o.astype(wfc_ref.dtype), wfc_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0] = _ln(z, s2_ref[:], b2_ref[:], eps2).astype(o_ref.dtype)
+    sa = _ln(z, s2_ref[:], b2_ref[:], eps2)
+    if film:
+        # residual + FiLM in-kernel: x + (scale+1)*sa + shift (f32)
+        sa = (
+            x_ref[0].astype(jnp.float32)
+            + (fs_ref[0].astype(jnp.float32) + 1.0) * sa
+            + fb_ref[0].astype(jnp.float32)
+        )
+    o_ref[0] = sa.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("nhead", "eps1", "eps2"))
 def fused_sa_block(
     x, s1, b1, angles, wq, wk, wv, wfc, s2, b2,
-    table=None, trj_dist=None, *, nhead, eps1=1e-5, eps2=1e-6,
+    table=None, trj_dist=None, film_scale=None, film_shift=None,
+    *, nhead, eps1=1e-5, eps2=1e-6,
 ):
     """SBIMSA self-attention block output for pre-norm input x.
 
@@ -120,6 +130,10 @@ def fused_sa_block(
     LayerNorm affine. Optional TRPE: table (n_buckets, h*dk) + trj_dist
     (b, L, L) int32. Matches SBIMSA(rotary(LN(x)), rotary(LN(x)), LN(x))
     on the deterministic path to dot-accumulation tolerance.
+
+    With film_scale/film_shift ((b, d) per-batch FiLM rows) the kernel also
+    applies the residual + featurewise affine in-place and returns
+    x + (scale+1)*block + shift — the layer's full self-attention update.
     """
     b, L, d = x.shape
     hd = wq.shape[-1]
@@ -143,6 +157,13 @@ def fused_sa_block(
             pl.BlockSpec((1, L, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         args += [table, trj_dist.astype(jnp.int32)]
+    film = film_scale is not None
+    if film:
+        in_specs += [
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [film_scale, film_shift]
 
     cost = pl.CostEstimate(
         flops=2 * L * d * (3 * hd + hd) + nhead * (2 * L * L * 2 * dk),
@@ -152,7 +173,7 @@ def fused_sa_block(
     return pl.pallas_call(
         functools.partial(
             _sa_block_kernel, nhead=nhead, dk=dk, scale=scale,
-            eps1=eps1, eps2=eps2, bias=bias,
+            eps1=eps1, eps2=eps2, bias=bias, film=film,
         ),
         grid=(b,),
         in_specs=in_specs,

@@ -277,6 +277,49 @@ def test_pallas_xab_param_tree_unchanged(env):
     assert jax.tree.leaves(tp) == jax.tree.leaves(tf)
 
 
+def test_fuse_film_matches_flax(env):
+    """TCDIFF_FUSE_FILM=1 (residual+FiLM folded into the block kernels)
+    must match the flax path, with and without TRPE."""
+    model, params, (x, cond, t) = _model_io()
+    for f in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_XAB"):
+        env.setenv(f, "0")
+    env.setenv("TCDIFF_FUSE_FILM", "0")
+    ref = model.apply({"params": params}, x, cond, t)
+    for f in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_XAB"):
+        env.setenv(f, "1")
+    env.setenv("TCDIFF_FUSE_FILM", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, x, cond, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5)
+    tokens = x.shape[1]
+    rng = np.random.default_rng(13)
+    trj = jnp.asarray(rng.integers(0, 10, size=(2, tokens, tokens)), jnp.int32)
+    out_t = model.apply({"params": params}, x, cond, t, None, trj)
+    for f in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_XAB"):
+        env.setenv(f, "0")
+    env.setenv("TCDIFF_FUSE_FILM", "0")
+    jax.clear_caches()
+    ref_t = model.apply({"params": params}, x, cond, t, None, trj)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=5e-5, rtol=5e-5)
+
+
+def test_fuse_film_param_tree_unchanged(env):
+    for f in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_XAB",
+              "TCDIFF_FUSE_FILM"):
+        env.setenv(f, "1")
+    jax.clear_caches()
+    model, params_p, _ = _model_io()
+    for f in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_XAB",
+              "TCDIFF_FUSE_FILM"):
+        env.setenv(f, "0")
+    jax.clear_caches()
+    _, params_f, _ = _model_io()
+    tp = jax.tree.map(lambda a: (a.shape, a.dtype), params_p)
+    tf = jax.tree.map(lambda a: (a.shape, a.dtype), params_f)
+    assert jax.tree.structure(tp) == jax.tree.structure(tf)
+    assert jax.tree.leaves(tp) == jax.tree.leaves(tf)
+
+
 def test_pallas_lnrot_param_tree_unchanged(env):
     env.setenv("TCDIFF_PALLAS_LNROT", "1")
     jax.clear_caches()
