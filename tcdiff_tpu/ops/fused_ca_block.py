@@ -115,11 +115,12 @@ def fused_ca_block(
     args = [x, s1, b1, cos, ssin, memory, memory_rot, wq, wk, wv, wfc, s2, b2]
     film = film_scale is not None
     if film:
+        # (b, 1, d) full-size trailing block (Mosaic block-shape rule)
         in_specs += [
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
-        args += [film_scale, film_shift]
+        args += [film_scale[:, None, :], film_shift[:, None, :]]
 
     return pl.pallas_call(
         functools.partial(

@@ -111,11 +111,12 @@ def fused_ff_block(x, scale, bias, w1, b1, w2, b2, film_scale=None,
     ]
     args = [x, scale, bias, w1, b1, w2, b2]
     if film:
+        # (b, 1, d) full-size trailing block (Mosaic block-shape rule)
         in_specs += [
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
-        args += [film_scale, film_shift]
+        args += [film_scale[:, None, :], film_shift[:, None, :]]
 
     return pl.pallas_call(
         functools.partial(_ff_kernel, eps=eps, film=film),

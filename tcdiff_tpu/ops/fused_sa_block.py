@@ -159,11 +159,13 @@ def fused_sa_block(
         args += [table, trj_dist.astype(jnp.int32)]
     film = film_scale is not None
     if film:
+        # (b, 1, d) with a full-size trailing block: Mosaic requires the
+        # last two block dims to be (8, 128)-divisible or full-size
         in_specs += [
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
-        args += [film_scale, film_shift]
+        args += [film_scale[:, None, :], film_shift[:, None, :]]
 
     cost = pl.CostEstimate(
         flops=2 * L * d * (3 * hd + hd) + nhead * (2 * L * L * 2 * dk),
