@@ -382,6 +382,14 @@ def main():
     out = sample(params, cond, jax.random.key(1), x0)
     float(jnp.sum(out))
 
+    # BENCH_PROFILE_DIR: capture one traced call (parse with
+    # tools/parse_xplane.py) before the timed reps
+    prof_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            out = sample(params, cond, jax.random.key(99), x0)
+            float(jnp.sum(out))
+
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
     for i in range(reps):

@@ -1,0 +1,84 @@
+"""Summarize a jax.profiler xplane trace: device-time share per op bucket.
+
+Usage:
+    python tools/parse_xplane.py <trace_dir> [top_n]
+
+Parses the .xplane.pb written by `jax.profiler.trace` (set
+BENCH_PROFILE_DIR for bench.py to capture one) with the xplane_pb2 schema
+shipped inside the installed tensorflow wheel, aggregates XLA op durations
+on the TPU device plane by fusion name, and prints a sorted table plus
+coarse buckets (matmul / attention softmax / layernorm / rotary / other).
+This is the committed replacement for the ad-hoc round-1 profile tooling
+(BENCH_NOTES.md's sampler profile table came from the same xplane data).
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import sys
+
+
+def _load_xspace(trace_dir: str):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # in-venv schema
+
+    pats = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not pats:
+        raise SystemExit(f"no .xplane.pb under {trace_dir}")
+    xs = xplane_pb2.XSpace()
+    with open(pats[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    return xs
+
+
+def _bucket(name: str) -> str:
+    n = name.lower()
+    if "fusion" in n and ("dot" in n or "conv" in n):
+        return "matmul-fusion"
+    for key, b in (
+        ("dot", "matmul"), ("softmax", "softmax"), ("reduce", "reduce/LN"),
+        ("convert", "convert"), ("transpose", "layout"), ("copy", "layout"),
+        ("custom-call", "custom-call (pallas)"), ("scatter", "scatter"),
+        ("gather", "gather"), ("rsqrt", "reduce/LN"), ("erf", "gelu"),
+    ):
+        if key in n:
+            return b
+    return "other"
+
+
+def main() -> None:
+    trace_dir = sys.argv[1]
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    xs = _load_xspace(trace_dir)
+
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        meta = {mid: plane.event_metadata[mid].name for mid in plane.event_metadata}
+        durs: dict[str, int] = collections.Counter()
+        for line in plane.lines:
+            # XLA op lines carry per-op events; steps/messages lines don't
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                durs[name] += ev.duration_ps
+        if not durs:
+            continue
+        total = sum(durs.values())
+        print(f"\n== plane: {plane.name}  total {total/1e12*1000:.3f} ms device time")
+        buckets: dict[str, int] = collections.Counter()
+        for name, d in durs.items():
+            buckets[_bucket(name)] += d
+        print("-- buckets:")
+        for b, d in sorted(buckets.items(), key=lambda kv: -kv[1]):
+            print(f"  {d/total*100:5.1f}%  {b}")
+        print(f"-- top {top_n} ops:")
+        for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:top_n]:
+            print(f"  {d/total*100:5.1f}%  {d/1e9:8.3f} ms  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()
