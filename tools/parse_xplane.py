@@ -59,9 +59,14 @@ def main() -> None:
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
         meta = {mid: plane.event_metadata[mid].name for mid in plane.event_metadata}
+        print(f"\n== plane: {plane.name} lines: "
+              + ", ".join(f"{ln.name}({len(ln.events)})" for ln in plane.lines))
         durs: dict[str, int] = collections.Counter()
         for line in plane.lines:
-            # XLA op lines carry per-op events; steps/messages lines don't
+            # only the leaf op line — module/step lines are parents and
+            # copy/slice-start lines are async DMA that overlaps compute
+            if line.name not in ("XLA Ops",):
+                continue
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
                 durs[name] += ev.duration_ps
