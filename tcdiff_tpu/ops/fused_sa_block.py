@@ -33,6 +33,7 @@ Opt-in via TCDIFF_PALLAS_SAB=1, deterministic (serving) path only.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +59,8 @@ def _ln(x, scale, bias, eps):
 
 def _sa_block_kernel(
     x_ref, s1_ref, b1_ref, cos_ref, ssin_ref, wq_ref, wk_ref, wv_ref,
-    wfc_ref, s2_ref, b2_ref, *rest, nhead, dk, scale, eps1, eps2, bias, film
+    wfc_ref, s2_ref, b2_ref, *rest, nhead, dk, scale, eps1, eps2, bias, film,
+    batched
 ):
     rest = list(rest)
     if bias:
@@ -78,31 +80,59 @@ def _sa_block_kernel(
     k = jnp.dot(rc, wk_ref[:], preferred_element_type=jnp.float32)
     v = jnp.dot(yc, wv_ref[:], preferred_element_type=jnp.float32)
 
-    # per-head attention, statically unrolled; heads are 64-wide lane slices
-    outs = []
-    for i in range(nhead):
-        sl = slice(i * dk, (i + 1) * dk)
-        qi = q[:, sl].astype(wq_ref.dtype)
-        ki = k[:, sl].astype(wq_ref.dtype)
-        vi = v[:, sl].astype(wq_ref.dtype)
+    L = q.shape[0]
+    if batched:
+        # all-heads batched attention: one relayout to (h, L, dk) then two
+        # 3-D batched MXU contractions instead of 8 sliced loops
+        cd = wq_ref.dtype
+        qh = q.astype(cd).reshape(L, nhead, dk).swapaxes(0, 1)
+        kh = k.astype(cd).reshape(L, nhead, dk).swapaxes(0, 1)
+        vh = v.astype(cd).reshape(L, nhead, dk).swapaxes(0, 1)
         logits = jax.lax.dot_general(
-            qi * jnp.asarray(scale, qi.dtype), ki, (((1,), (1,)), ((), ())),
+            qh * jnp.asarray(scale, cd), kh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )  # (h, L, L)
         if bias:
-            # (L, 10): UNSCALED q against every bucket embedding of this head
             indexed = jax.lax.dot_general(
-                qi, table_ref[:, sl].astype(qi.dtype), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dist = dist_ref[0]
+                qh, table_ref[:].astype(cd).reshape(N_TRJ_BUCKETS, nhead, dk).swapaxes(0, 1),
+                (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+            )  # (h, L, 10)
+            dist = dist_ref[0][None]
             for n in range(N_TRJ_BUCKETS):
-                logits = logits + jnp.where(dist == n, indexed[:, n : n + 1], 0.0)
+                logits = logits + jnp.where(dist == n, indexed[:, :, n : n + 1], 0.0)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vi.dtype)
-        outs.append(jnp.dot(p, vi, preferred_element_type=jnp.float32))
-    o = jnp.concatenate(outs, axis=-1)  # (L, h*dk) f32
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cd)
+        oh = jax.lax.dot_general(
+            p, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (h, L, dk)
+        o = oh.swapaxes(0, 1).reshape(L, nhead * dk)
+    else:
+        # per-head attention, statically unrolled; heads are 64-wide lane slices
+        outs = []
+        for i in range(nhead):
+            sl = slice(i * dk, (i + 1) * dk)
+            qi = q[:, sl].astype(wq_ref.dtype)
+            ki = k[:, sl].astype(wq_ref.dtype)
+            vi = v[:, sl].astype(wq_ref.dtype)
+            logits = jax.lax.dot_general(
+                qi * jnp.asarray(scale, qi.dtype), ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if bias:
+                # (L, 10): UNSCALED q against every bucket embedding of this head
+                indexed = jax.lax.dot_general(
+                    qi, table_ref[:, sl].astype(qi.dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dist = dist_ref[0]
+                for n in range(N_TRJ_BUCKETS):
+                    logits = logits + jnp.where(dist == n, indexed[:, n : n + 1], 0.0)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vi.dtype)
+            outs.append(jnp.dot(p, vi, preferred_element_type=jnp.float32))
+        o = jnp.concatenate(outs, axis=-1)  # (L, h*dk) f32
 
     # out projection + post-attention LayerNorm (eps 1e-6)
     z = jnp.dot(o.astype(wfc_ref.dtype), wfc_ref[:], preferred_element_type=jnp.float32)
@@ -176,6 +206,9 @@ def fused_sa_block(
         functools.partial(
             _sa_block_kernel, nhead=nhead, dk=dk, scale=scale,
             eps1=eps1, eps2=eps2, bias=bias, film=film,
+            # TCDIFF_SAB_BATCHED=1: all-heads batched attention layout
+            # (one (h, L, dk) relayout + 3-D contractions vs 8 sliced loops)
+            batched=os.environ.get("TCDIFF_SAB_BATCHED", "0") == "1",
         ),
         grid=(b,),
         in_specs=in_specs,
