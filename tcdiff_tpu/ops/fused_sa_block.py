@@ -207,7 +207,11 @@ def fused_sa_block(
             _sa_block_kernel, nhead=nhead, dk=dk, scale=scale,
             eps1=eps1, eps2=eps2, bias=bias, film=film,
             # TCDIFF_SAB_BATCHED=1: all-heads batched attention layout
-            # (one (h, L, dk) relayout + 3-D contractions vs 8 sliced loops)
+            # (one (h, L, dk) relayout + 3-D contractions vs 8 sliced
+            # loops). Does NOT compile on current Mosaic — the lane-
+            # splitting reshape hits "infer-vector-layout: unsupported
+            # shape cast"; kept for interpret-mode comparison and future
+            # Mosaic versions. The sliced-loop layout is the default.
             batched=os.environ.get("TCDIFF_SAB_BATCHED", "0") == "1",
         ),
         grid=(b,),
