@@ -133,3 +133,39 @@ def test_sbimsa_pallas_ln_env(monkeypatch):
     monkeypatch.setenv("TCDIFF_PALLAS_LN", "1")
     fused = m.apply(params, x, x, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
+
+
+def test_kv_cache_hoist_matches_uncached(monkeypatch):
+    """TCDIFF_KV_CACHE (hoisted music-token k/v) must match the
+    full-memory path through the cache AND the direct forward."""
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=8, latent_dim=32, ff_size=32, num_layers=2, num_heads=2,
+        dancer_num=2, head_dim=16,
+    )
+    model = DanceDecoder(cfg)
+    diff = GaussianDiffusion(model, DiffusionConfig(sampling_timesteps=2, n_timestep=10))
+    tokens = cfg.seq_len * cfg.dancer_num
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, tokens, cfg.nfeats)).astype(np.float32))
+    cond = jnp.asarray(
+        rng.normal(size=(2, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)).astype(np.float32)
+    )
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = model.init(jax.random.key(0), x, cond, t)["params"]
+
+    monkeypatch.setenv("TCDIFF_KV_CACHE", "0")
+    jax.clear_caches()
+    cache_off = diff.encode_cond_cfg(params, cond)
+    assert len(cache_off) == 2
+    ref = diff.guided(params, x, cond, t, 2.0, cond_cache=cache_off)
+
+    monkeypatch.setenv("TCDIFF_KV_CACHE", "1")
+    jax.clear_caches()
+    cache_on = diff.encode_cond_cfg(params, cond)
+    assert len(cache_on) == 3 and len(cache_on[2]) == cfg.num_layers
+    out = diff.guided(params, x, cond, t, 2.0, cond_cache=cache_on)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
