@@ -163,6 +163,16 @@ def _use_kv_cache() -> bool:
     return os.environ.get("TCDIFF_KV_CACHE", "1") == "1"
 
 
+def _use_ffb_tail() -> bool:
+    """TCDIFF_PALLAS_FFT=1 extends the FF-block kernel through the layer
+    tail: residual+FiLM and the closing linear3(norm4(x)) run in the same
+    program (ops/fused_ff_block.py::fused_ff_tail). Requires the FFB
+    kernel to be active; opt-in until measured faster."""
+    import os
+
+    return os.environ.get("TCDIFF_PALLAS_FFT", "0") == "1"
+
+
 def _use_fuse_film() -> bool:
     """TCDIFF_FUSE_FILM=1 folds each block's residual + FiLM featurewise
     affine into the block-fusion kernels (SAB/XAB/FFB take the per-batch
@@ -653,14 +663,25 @@ class FiLMTransformerDecoderLayer(nn.Module):
         quant = deterministic and _use_int8()
         if quant:
             from tcdiff_tpu.ops.int8 import int8_dense
+        tail_done = False
         if deterministic and _use_pallas_ffb():
-            from tcdiff_tpu.ops.fused_ff_block import fused_ff_block
+            from tcdiff_tpu.ops.fused_ff_block import fused_ff_block, fused_ff_tail
 
             s3, b3 = _LNParams(d, name="norm3")()
             k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
             k2f, bb2f = _DenseParams(self.ff_size, d, name="linear2")()
             fsc3, fsh3 = DenseFiLM(d, self.dtype, name="film3")(t)
-            if fuse_film:
+            if _use_ffb_tail():
+                s4, b4 = _LNParams(d, name="norm4")()
+                k3, bb3 = _DenseParams(d, d, name="linear3")()
+                x = fused_ff_tail(
+                    x, s3, b3,
+                    k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
+                    fsc3[:, 0], fsh3[:, 0], s4, b4,
+                    k3.astype(self.dtype), bb3, eps=1e-5,
+                )
+                tail_done = True
+            elif fuse_film:
                 x = fused_ff_block(
                     x, s3, b3,
                     k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
@@ -698,7 +719,9 @@ class FiLMTransformerDecoderLayer(nn.Module):
             x = x + featurewise_affine(h, DenseFiLM(d, self.dtype, name="film3")(t))
 
         # the reference ends every layer with linear3(norm4(x)) (`model/model.py:344`)
-        if fuse_lnmm:
+        if tail_done:
+            pass  # fused_ff_tail already applied norm4 + linear3 in-kernel
+        elif fuse_lnmm:
             from tcdiff_tpu.ops.fused_ln_matmul import fused_ln_matmul
 
             s4, b4 = _LNParams(d, name="norm4")()

@@ -85,6 +85,59 @@ def _ff_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, *rest, eps, 
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _ff_tail_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    fs_ref, fb_ref, s4_ref, b4_ref, w3_ref, b3_ref, o_ref,
+                    *, eps):
+    """FF block + the layer tail: x' = x + (fs+1)*FF(LN3(x)) + fb, then
+    linear3(LN4(x')) — the decoder layer's complete post-cross-attention
+    remainder (`model/model.py:318-344`) in one program."""
+    y = _ln(x_ref[0], s_ref[:], b_ref[:], eps).astype(w1_ref.dtype)
+    h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[:].astype(jnp.float32)
+    h = _gelu_exact(h).astype(w2_ref.dtype)
+    o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    o = o + b2_ref[:].astype(jnp.float32)
+    o = (
+        x_ref[0].astype(jnp.float32)
+        + (fs_ref[0].astype(jnp.float32) + 1.0) * o
+        + fb_ref[0].astype(jnp.float32)
+    )
+    z = _ln(o, s4_ref[:], b4_ref[:], eps).astype(w3_ref.dtype)
+    out = jnp.dot(z, w3_ref[:], preferred_element_type=jnp.float32)
+    o_ref[0] = (out + b3_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def fused_ff_tail(x, scale, bias, w1, b1, w2, b2, film_scale, film_shift,
+                  s4, b4, w3, b3, eps: float = 1e-5):
+    """linear3(LN4(x + FiLM(FF(LN3(x))))) — the whole decoder-layer tail in
+    one VMEM-resident pass. film_scale/film_shift: (b, d) FiLM rows."""
+    b, L, d = x.shape
+    ff = w1.shape[-1]
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bmat3 = lambda r, c: pl.BlockSpec((1, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ff_tail_kernel, eps=eps),
+        grid=(b,),
+        in_specs=[
+            bmat3(L, d), vec(d), vec(d),
+            mat(d, ff), vec(ff), mat(ff, d), vec(d),
+            bmat3(1, d), bmat3(1, d),
+            vec(d), vec(d), mat(d, d), vec(d),
+        ],
+        out_specs=bmat3(L, d),
+        out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * L * d * (2 * ff + d),
+            bytes_accessed=4 * L * d * 2 + 2 * (2 * d * ff + d * d),
+            transcendentals=L * ff,
+        ),
+        interpret=_interpret(),
+    )(x, scale, bias, w1, b1, w2, b2,
+      film_scale[:, None, :], film_shift[:, None, :], s4, b4, w3, b3)
+
+
 @functools.partial(jax.jit, static_argnames=("eps",))
 def fused_ff_block(x, scale, bias, w1, b1, w2, b2, film_scale=None,
                    film_shift=None, eps: float = 1e-5):

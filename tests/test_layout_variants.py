@@ -331,3 +331,32 @@ def test_pallas_lnrot_param_tree_unchanged(env):
     tf = jax.tree.map(lambda a: (a.shape, a.dtype), params_f)
     assert jax.tree.structure(tp) == jax.tree.structure(tf)
     assert jax.tree.leaves(tp) == jax.tree.leaves(tf)
+
+
+def test_pallas_ffb_tail_matches_flax(env):
+    """TCDIFF_PALLAS_FFT=1 (FF block + residual/FiLM + linear3(norm4) in
+    one program) must match the flax path."""
+    model, params, io = _model_io()
+    for f in ("TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_FFT"):
+        env.setenv(f, "0")
+    ref = model.apply({"params": params}, *io)
+    for f in ("TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_FFT"):
+        env.setenv(f, "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5)
+
+
+def test_pallas_ffb_tail_param_tree_unchanged(env):
+    for f in ("TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_FFT"):
+        env.setenv(f, "1")
+    jax.clear_caches()
+    model, params_p, _ = _model_io()
+    for f in ("TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_FFT"):
+        env.setenv(f, "0")
+    jax.clear_caches()
+    _, params_f, _ = _model_io()
+    tp = jax.tree.map(lambda a: (a.shape, a.dtype), params_p)
+    tf = jax.tree.map(lambda a: (a.shape, a.dtype), params_f)
+    assert jax.tree.structure(tp) == jax.tree.structure(tf)
+    assert jax.tree.leaves(tp) == jax.tree.leaves(tf)
