@@ -164,13 +164,12 @@ def _use_kv_cache() -> bool:
 
 
 def _use_ffb_tail() -> bool:
-    """TCDIFF_PALLAS_FFT=1 extends the FF-block kernel through the layer
+    """TCDIFF_PALLAS_FFT extends the FF-block kernel through the layer
     tail: residual+FiLM and the closing linear3(norm4(x)) run in the same
     program (ops/fused_ff_block.py::fused_ff_tail). Requires the FFB
-    kernel to be active; opt-in until measured faster."""
-    import os
-
-    return os.environ.get("TCDIFF_PALLAS_FFT", "0") == "1"
+    kernel to be active. Default ON on TPU: measured 168.5/163.8 vs
+    166.4/158.3 paired controls (BENCH_NOTES.md)."""
+    return _flag_default_on_tpu("TCDIFF_PALLAS_FFT")
 
 
 def _use_fuse_film() -> bool:
