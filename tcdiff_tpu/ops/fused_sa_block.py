@@ -60,7 +60,7 @@ def _ln(x, scale, bias, eps):
 def _sa_block_kernel(
     x_ref, s1_ref, b1_ref, cos_ref, ssin_ref, wq_ref, wk_ref, wv_ref,
     wfc_ref, s2_ref, b2_ref, *rest, nhead, dk, scale, eps1, eps2, bias, film,
-    batched
+    batched, wsplit
 ):
     rest = list(rest)
     if bias:
@@ -75,12 +75,13 @@ def _sa_block_kernel(
     rc = r.astype(wq_ref.dtype)
     yc = y.astype(wq_ref.dtype)
 
-    # full-width projections on the MXU, f32 accumulation
-    q = jnp.dot(rc, wq_ref[:], preferred_element_type=jnp.float32)
-    k = jnp.dot(rc, wk_ref[:], preferred_element_type=jnp.float32)
-    v = jnp.dot(yc, wv_ref[:], preferred_element_type=jnp.float32)
+    if not wsplit:
+        # full-width projections on the MXU, f32 accumulation
+        q = jnp.dot(rc, wq_ref[:], preferred_element_type=jnp.float32)
+        k = jnp.dot(rc, wk_ref[:], preferred_element_type=jnp.float32)
+        v = jnp.dot(yc, wv_ref[:], preferred_element_type=jnp.float32)
 
-    L = q.shape[0]
+    L = rc.shape[0]
     if batched:
         # all-heads batched attention: one relayout to (h, L, dk) then two
         # 3-D batched MXU contractions instead of 8 sliced loops
@@ -107,6 +108,32 @@ def _sa_block_kernel(
             p, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (h, L, dk)
         o = oh.swapaxes(0, 1).reshape(L, nhead * dk)
+    elif wsplit:
+        # weight-split layout: per-head projections from (h, d, dk)-shaped
+        # weights (reshaped for free by XLA outside the kernel) — no
+        # activation lane slicing at all; narrow-N (dk) matmuls instead
+        outs = []
+        for i in range(nhead):
+            qi = jnp.dot(rc, wq_ref[i], preferred_element_type=jnp.float32).astype(wq_ref.dtype)
+            ki = jnp.dot(rc, wk_ref[i], preferred_element_type=jnp.float32).astype(wq_ref.dtype)
+            vi = jnp.dot(yc, wv_ref[i], preferred_element_type=jnp.float32).astype(wq_ref.dtype)
+            logits = jax.lax.dot_general(
+                qi * jnp.asarray(scale, qi.dtype), ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if bias:
+                indexed = jax.lax.dot_general(
+                    qi, table_ref[i].astype(qi.dtype), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dist = dist_ref[0]
+                for n in range(N_TRJ_BUCKETS):
+                    logits = logits + jnp.where(dist == n, indexed[:, n : n + 1], 0.0)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vi.dtype)
+            outs.append(jnp.dot(p, vi, preferred_element_type=jnp.float32))
+        o = jnp.concatenate(outs, axis=-1)
     else:
         # per-head attention, statically unrolled; heads are 64-wide lane slices
         outs = []
@@ -173,17 +200,32 @@ def fused_sa_block(
 
     vec = lambda: pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat3 = lambda a, r, c: pl.BlockSpec((a, r, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    wsplit = os.environ.get("TCDIFF_SAB_WSPLIT", "0") == "1"
+    if wsplit:
+        # (h, d, dk) weight layout: XLA performs the reshape outside the
+        # kernel; in-kernel heads index the leading dim (no lane slicing)
+        wq = wq.reshape(d, nhead, hd // nhead).swapaxes(0, 1)
+        wk = wk.reshape(d, nhead, hd // nhead).swapaxes(0, 1)
+        wv = wv.reshape(d, nhead, hd // nhead).swapaxes(0, 1)
+        wproj = lambda: mat3(nhead, d, hd // nhead)
+    else:
+        wproj = lambda: mat(d, hd)
     in_specs = [
         pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         vec(), vec(), mat(L, d), mat(L, d),
-        mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),
+        wproj(), wproj(), wproj(), mat(hd, d),
         vec(), vec(),
     ]
     args = [x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2]
     bias = table is not None and trj_dist is not None
     if bias:
+        if wsplit:
+            table = table.reshape(N_TRJ_BUCKETS, nhead, hd // nhead).swapaxes(0, 1)
+            in_specs += [mat3(nhead, N_TRJ_BUCKETS, hd // nhead)]
+        else:
+            in_specs += [mat(N_TRJ_BUCKETS, hd)]
         in_specs += [
-            mat(N_TRJ_BUCKETS, hd),
             pl.BlockSpec((1, L, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
         args += [table, trj_dist.astype(jnp.int32)]
@@ -213,6 +255,7 @@ def fused_sa_block(
             # shape cast"; kept for interpret-mode comparison and future
             # Mosaic versions. The sliced-loop layout is the default.
             batched=os.environ.get("TCDIFF_SAB_BATCHED", "0") == "1",
+            wsplit=wsplit,
         ),
         grid=(b,),
         in_specs=in_specs,
