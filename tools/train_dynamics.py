@@ -17,6 +17,7 @@ budget a cold ~5-10 min train-step compile through the axon tunnel.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -44,6 +45,10 @@ BATCH = int(os.environ.get("DYN_BATCH", "32"))
 N_DATA = int(os.environ.get("DYN_DATA", "256"))
 EVAL_SAMPLES = int(os.environ.get("DYN_EVAL", "8"))
 TINY = os.environ.get("DYN_TINY", "0") == "1"  # CPU smoke-test sizing
+if TINY:
+    # smoke tests must NOT grab the axon TPU (never run two TPU
+    # processes; JAX_PLATFORMS env does not work here — see CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _fk(flat, normalizer, dn):
@@ -63,16 +68,20 @@ def _fk(flat, normalizer, dn):
 _SAMPLE_FN = {}
 
 
-def _sample_jit(diff):
-    """One jitted sampler per diffusion object — the pre- and post-training
-    evals must share the compiled executable (a fresh jax.jit wrapper per
-    call recompiles: ~10-15 min each through the axon tunnel)."""
-    if diff not in _SAMPLE_FN:
-        _SAMPLE_FN[diff] = jax.jit(diff.ddim_sample, static_argnums=(1,))
-    return _SAMPLE_FN[diff]
+def _sample_jit(diff, forecast=0):
+    """One jitted sampler per (diffusion object, forecast) — the pre- and
+    post-training evals must share the compiled executable (a fresh
+    jax.jit wrapper per call recompiles: ~10-15 min each through the axon
+    tunnel)."""
+    key = (diff, forecast)
+    if key not in _SAMPLE_FN:
+        fn = functools.partial(diff.ddim_sample, forecast_every=forecast)
+        _SAMPLE_FN[key] = jax.jit(fn, static_argnums=(1,))
+    return _SAMPLE_FN[key]
 
 
-def eval_metrics(diff, model, params, normalizer, eval_x, eval_cond, key):
+def eval_metrics(diff, model, params, normalizer, eval_x, eval_cond, key,
+                 forecast=0):
     """Sample with GT trajectories (val_without_TrajModel semantics,
     `TCDiff.py:382-402`) and score vs the ground-truth clips."""
     from tcdiff_tpu.eval.metrics import evaluate
@@ -82,7 +91,7 @@ def eval_metrics(diff, model, params, normalizer, eval_x, eval_cond, key):
     xy = jnp.transpose(eval_x[..., 4:6], (0, 2, 1, 3)).reshape(b, s * dn, 2)
     x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
     shape = (b, s * dn, c)
-    sample = _sample_jit(diff)(params, shape, jnp.asarray(eval_cond), key, x_0)
+    sample = _sample_jit(diff, forecast)(params, shape, jnp.asarray(eval_cond), key, x_0)
     gen = _fk(sample, normalizer, dn)
     gt_flat = jnp.transpose(jnp.asarray(eval_x), (0, 2, 1, 3)).reshape(b, s * dn, c)
     ref = _fk(gt_flat, normalizer, dn)
@@ -146,7 +155,7 @@ def train_denoiser(log):
         eval_music, jax.random.key(7),
     )
     log({"event": "denoiser_eval", "step": STEPS, **post_eval})
-    return {
+    out = {
         "denoiser_first": first,
         "denoiser_last": last,
         "denoiser_eval_pre": pre_eval,
@@ -154,6 +163,17 @@ def train_denoiser(log):
         "denoiser_steps": STEPS,
         "denoiser_train_seconds": round(train_s, 1),
     }
+    # DYN_FORECAST_EVAL=k1,k2,...: quality of the opt-in LMS feature
+    # forecast on the SAME trained weights vs the exact sampler above
+    fks = os.environ.get("DYN_FORECAST_EVAL", "")
+    for k in [int(v) for v in fks.split(",") if v.strip()]:
+        fe = eval_metrics(
+            diff, model, state.params, normalizer, jnp.asarray(eval_poses),
+            eval_music, jax.random.key(7), forecast=k,
+        )
+        log({"event": "denoiser_eval_forecast", "k": k, **fe})
+        out[f"denoiser_eval_forecast{k}"] = fe
+    return out
 
 
 def train_dbn(log):
