@@ -81,17 +81,29 @@ class GaussianDiffusion:
         )
 
     def guided(self, params, x, cond, t_vec, weight, trj_dist=None, cond_cache=None):
-        """One doubled-batch CFG forward: unc + (cond - unc) * weight."""
+        """One doubled-batch CFG forward: unc + (cond - unc) * weight.
+
+        With TCDIFF_CFG_DEDUP (default), x is passed at half batch and the
+        model computes the x-only prefix once (cfg_pair=True — see
+        models/dance_decoder.py::_use_cfg_dedup); exact same outputs."""
+        from tcdiff_tpu.models.dance_decoder import _use_cfg_dedup
+
         b = x.shape[0]
         keep = jnp.concatenate([jnp.zeros((b,), bool), jnp.ones((b,), bool)])
-        xx = jnp.concatenate([x, x], axis=0)
         cc = None if cond_cache is not None else jnp.concatenate([cond, cond], axis=0)
         tt = jnp.concatenate([t_vec, t_vec], axis=0)
-        td = None if trj_dist is None else jnp.concatenate([trj_dist, trj_dist], axis=0)
-        out = self.model.apply(
-            {"params": params}, xx, cc, tt, keep, td,
-            deterministic=True, cond_cache=cond_cache,
-        )
+        if _use_cfg_dedup() and not self.model.remat:
+            out = self.model.apply(
+                {"params": params}, x, cc, tt, keep, trj_dist,
+                deterministic=True, cond_cache=cond_cache, cfg_pair=True,
+            )
+        else:
+            xx = jnp.concatenate([x, x], axis=0)
+            td = None if trj_dist is None else jnp.concatenate([trj_dist, trj_dist], axis=0)
+            out = self.model.apply(
+                {"params": params}, xx, cc, tt, keep, td,
+                deterministic=True, cond_cache=cond_cache,
+            )
         unc, con = out[:b], out[b:]
         return unc + (con - unc) * weight
 

@@ -148,6 +148,19 @@ class _SAParams(nn.Module):
         return wq, wk, wv, fc, s2, b2
 
 
+def _use_cfg_dedup() -> bool:
+    """TCDIFF_CFG_DEDUP (default ON): in the doubled-batch CFG forward the
+    two halves share the SAME x and times — they first diverge where the
+    condition enters (cond_hidden inside film1 and the cross-attention
+    memory). With cfg_pair=True the caller passes the HALF batch x and the
+    model computes the x-only prefix (input/fusion/trajectory projections
+    and layer 0's self-attention block) once, tiling to the doubled batch
+    at the first FiLM — exact same math, ~4% of sampler device time."""
+    import os
+
+    return os.environ.get("TCDIFF_CFG_DEDUP", "1") == "1"
+
+
 def _use_kv_cache() -> bool:
     """TCDIFF_KV_CACHE (default ON): hoist the cross-attention k/v of the
     music tokens out of the sampling scan. The cond memory is
@@ -557,7 +570,11 @@ class FiLMTransformerDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, memory, t, traj_emb, shared_emb, trj_dist=None, *,
-                 deterministic=True, kv_cache=None):
+                 deterministic=True, kv_cache=None, tile_sa=False):
+        """tile_sa: CFG-dedup mode (see _use_cfg_dedup) — x/traj_emb/
+        trj_dist arrive at HALF batch; the self-attention block runs once
+        and its output is tiled to the doubled batch at the first FiLM
+        (where cond_hidden, and thus the halves, first diverge)."""
         d = self.d_model
         angles_x = jnp.asarray(rotary_freqs(x.shape[-2], d))
         angles_m = (
@@ -566,7 +583,9 @@ class FiLMTransformerDecoderLayer(nn.Module):
 
         fuse_lnrot = deterministic and _use_pallas_lnrot()
 
-        fuse_film = deterministic and _use_fuse_film()
+        # in-kernel film needs the doubled batch inside the SA kernel, so
+        # dedup mode falls back to the external film add at this site
+        fuse_film = deterministic and _use_fuse_film() and not tile_sa
 
         # self-attention + FiLM(t)
         if deterministic and _use_pallas_sab():
@@ -587,6 +606,10 @@ class FiLMTransformerDecoderLayer(nn.Module):
                 )
             else:
                 sa = fused_sa_block(*sab_args, nhead=self.n_head)
+                if tile_sa:
+                    sa = jnp.concatenate([sa, sa], axis=0)
+                    x = jnp.concatenate([x, x], axis=0)
+                    traj_emb = jnp.concatenate([traj_emb, traj_emb], axis=0)
                 x = x + featurewise_affine(sa, (fsc, fsh))
         else:
             if fuse_lnrot:
@@ -602,6 +625,10 @@ class FiLMTransformerDecoderLayer(nn.Module):
                     qk, qk, h, shared_emb, trj_dist, deterministic=deterministic
                 )
             sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+            if tile_sa:
+                sa = jnp.concatenate([sa, sa], axis=0)
+                x = jnp.concatenate([x, x], axis=0)
+                traj_emb = jnp.concatenate([traj_emb, traj_emb], axis=0)
             x = x + featurewise_affine(sa, DenseFiLM(d, self.dtype, name="film1")(t))
 
         # cross-attention to music/time tokens + FiLM(t)
@@ -784,13 +811,22 @@ class DanceDecoder(nn.Module):
     def __call__(
         self, x, cond, times, keep_mask=None, trj_dist=None, *,
         deterministic=True, cond_cache=None, return_cond_cache=False,
+        cfg_pair=False,
     ):
         """`cond_cache`/`return_cond_cache`: the music-cond encoding is
         independent of x and t, so samplers encode it ONCE
         (return_cond_cache=True -> (ct, cond_hidden)) and replay it through
         every denoising step via cond_cache — exact math, hoisted out of the
         50-step scan. The reference re-encodes the condition in all 100
-        forwards per clip (`model/model.py:571-581`)."""
+        forwards per clip (`model/model.py:571-581`).
+
+        `cfg_pair=True` (CFG dedup, see _use_cfg_dedup): x and trj_dist
+        arrive at HALF the batch of cond/times/keep_mask; the x-only
+        prefix (input/fusion/trajectory projections, layer-0 self-attn)
+        runs once and is tiled to the doubled batch at the first FiLM.
+        Exact math; output is doubled-batch. Not supported with remat."""
+        if cfg_pair:
+            assert not self.remat, "cfg_pair dedup is a sampling-path feature"
         cfg = self.cfg
         d = cfg.latent_dim
         if keep_mask is None:
@@ -911,7 +947,9 @@ class DanceDecoder(nn.Module):
         t_hidden = mish(t_hidden)
         t = nn.Dense(d, dtype=self.dtype, name="to_time_cond")(t_hidden)
         t_tokens = nn.Dense(d * 2, dtype=self.dtype, name="to_time_tokens")(t_hidden)
-        t_tokens = t_tokens.reshape(b, 2, d)
+        # times (and thus t_tokens) are at the FULL batch — in cfg_pair mode
+        # that is 2x the x-side b
+        t_tokens = t_tokens.reshape(times.shape[0], 2, d)
 
         t = t + cond_hidden
 
@@ -963,7 +1001,14 @@ class DanceDecoder(nn.Module):
                         None if kv_list is None
                         else (kv_list[i][0], kv_list[i][1], norm_t, rot_t)
                     ),
+                    tile_sa=cfg_pair and i == 0,
                 )
+            if cfg_pair and i == 0:
+                # layer 0 tiled h internally; tile the x-side companions
+                # for the remaining (doubled-batch) layers
+                traj_emb = jnp.concatenate([traj_emb, traj_emb], axis=0)
+                if trj_dist is not None:
+                    trj_dist = jnp.concatenate([trj_dist, trj_dist], axis=0)
 
         out = nn.Dense(cfg.nfeats, dtype=self.dtype, name="final_layer")(h)
         return out.astype(jnp.float32)

@@ -169,3 +169,42 @@ def test_kv_cache_hoist_matches_uncached(monkeypatch):
     assert len(cache_on) == 3 and len(cache_on[2]) == cfg.num_layers
     out = diff.guided(params, x, cond, t, 2.0, cond_cache=cache_on)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_cfg_dedup_matches_doubled_batch(monkeypatch):
+    """TCDIFF_CFG_DEDUP (x-prefix computed once per CFG pair) must match
+    the plain doubled-batch forward, with and without TRPE."""
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=8, latent_dim=32, ff_size=32, num_layers=2, num_heads=2,
+        dancer_num=2, head_dim=16,
+    )
+    model = DanceDecoder(cfg)
+    diff = GaussianDiffusion(model, DiffusionConfig(sampling_timesteps=2, n_timestep=10))
+    tokens = cfg.seq_len * cfg.dancer_num
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, tokens, cfg.nfeats)).astype(np.float32))
+    cond = jnp.asarray(
+        rng.normal(size=(2, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)).astype(np.float32)
+    )
+    t = jnp.asarray([3, 7], jnp.int32)
+    trj = jnp.asarray(rng.integers(0, 10, (2, tokens, tokens)), jnp.int32)
+    params = model.init(jax.random.key(0), x, cond, t)["params"]
+    cache = diff.encode_cond_cfg(params, cond)
+
+    monkeypatch.setenv("TCDIFF_CFG_DEDUP", "0")
+    jax.clear_caches()
+    ref = diff.guided(params, x, cond, t, 2.0, cond_cache=cache)
+    ref_trj = diff.guided(params, x, cond, t, 2.0, trj, cond_cache=cache)
+
+    monkeypatch.setenv("TCDIFF_CFG_DEDUP", "1")
+    jax.clear_caches()
+    out = diff.guided(params, x, cond, t, 2.0, cond_cache=cache)
+    out_trj = diff.guided(params, x, cond, t, 2.0, trj, cond_cache=cache)
+    # same dot products per row, but XLA compiles the b and 2b graphs
+    # with different accumulation schedules -> fp-reassociation tolerance
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_trj), np.asarray(ref_trj), atol=5e-5, rtol=5e-5)
