@@ -155,7 +155,9 @@ def bench_train():
                 "metric": f"train_steps/sec (batch {batch}, 3 dancers)",
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/s",
-                "vs_baseline": round(samples_per_s / anchor, 3) if anchor else round(1.0 / dt, 3),
+                # null (not steps/s) when no anchor: keep the field's unit
+                # stable for downstream consumers (ADVICE r2, low)
+                "vs_baseline": round(samples_per_s / anchor, 3) if anchor else None,
                 "train_samples_per_s": round(samples_per_s, 1),
             }
         )

@@ -7,6 +7,8 @@ quality table:
 
   * kinetic motion features (Onuma et al.-style per-joint kinetic energy,
     the `FID_k` feature map used by AIST++/Bailando evaluation code)
+  * boolean geometric features (Müller-2005 relational features on SMPL,
+    the `FID_g` feature map of the same stack — eval/geometric.py)
   * Frechet Inception Distance over feature sets
   * diversity (mean pairwise feature distance)
   * beat-alignment score: exp(-d^2/2s^2) between music beats and kinematic
@@ -39,13 +41,15 @@ def kinetic_features(joints: jnp.ndarray) -> jnp.ndarray:
     return (0.5 * jnp.mean(vel**2, axis=0)).reshape(-1)
 
 
-@jax.jit
 def geometric_features(joints: jnp.ndarray) -> jnp.ndarray:
-    """(T, 24, 3) -> (48,) simple geometric statistics: mean and std of
-    per-joint height (a light-weight stand-in for boolean pose descriptors,
-    deterministic and discriminative for dance)."""
-    z = joints[..., 2]
-    return jnp.concatenate([jnp.mean(z, axis=0), jnp.std(z, axis=0)])
+    """(T, 24, 3) -> (32,) boolean relational features (firing fractions) —
+    the standard AIST++/Bailando FID_g feature map (eval/geometric.py,
+    Müller-2005 relational features on the SMPL skeleton). Replaces the
+    round-2 height-statistics stand-in so FID_g is comparable to
+    published tables."""
+    from tcdiff_tpu.eval.geometric import boolean_geometric_features
+
+    return boolean_geometric_features(joints)
 
 
 def extract_features(joints_batch, kind: str = "kinetic") -> np.ndarray:

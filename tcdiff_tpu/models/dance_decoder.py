@@ -85,15 +85,35 @@ def _use_pallas_lnmm() -> bool:
     return os.environ.get("TCDIFF_PALLAS_LNMM", "0") == "1"
 
 
+_WARNED_INT8_SHADOW = set()
+
+
 def _flag_default_on_tpu(name: str) -> bool:
     """Fusion flags that measured FASTER than XLA on the TPU default to ON
     there and OFF elsewhere (CPU tests/interpret mode pay kernel-emulation
-    cost for no benefit). The env var overrides either way ("1"/"0")."""
+    cost for no benefit). The env var overrides either way ("1"/"0").
+
+    TCDIFF_INT8=1 takes precedence over the TPU defaults (ADVICE r2): the
+    bf16 block kernels would otherwise shadow the int8 projections and the
+    advertised speedup could never materialize. An EXPLICIT "1" still wins,
+    with a one-time warning about the partial int8 effect."""
     import os
 
     v = os.environ.get(name)
     if v is not None:
-        return v == "1"
+        on = v == "1"
+        if on and _use_int8() and name not in _WARNED_INT8_SHADOW:
+            _WARNED_INT8_SHADOW.add(name)
+            import warnings
+
+            warnings.warn(
+                f"TCDIFF_INT8=1 with {name}=1: the bf16 block kernel takes "
+                "this site, so int8 only reaches the remaining projections.",
+                stacklevel=2,
+            )
+        return on
+    if _use_int8():
+        return False
     return jax.default_backend() == "tpu"
 
 
@@ -869,7 +889,11 @@ class DanceDecoder(nn.Module):
                 keep_mask[:, None], cond_hidden, null_cond_hidden.astype(self.dtype)
             )
             if return_cond_cache:
-                if _use_kv_cache():
+                # the remat layer path cannot thread kv_cache through
+                # nn.remat's positional adapter — under remat the hoist is
+                # skipped and the plain (ct, cond_hidden) cache is returned
+                # (ADVICE r2: default-ON kv-cache used to crash remat models)
+                if _use_kv_cache() and not self.remat:
                     # hoist the cross-attention k/v of the music tokens:
                     # row-wise norm_cond + per-position rotary + per-layer
                     # k/v projections of the ct rows are t-independent
@@ -892,6 +916,10 @@ class DanceDecoder(nn.Module):
         else:
             if len(cond_cache) == 3:
                 ct, cond_hidden, kv_list = cond_cache
+                if self.remat:
+                    # a 3-tuple cache built without remat: fall back to the
+                    # full-memory path rather than dropping kv in the layers
+                    kv_list = None
             else:
                 ct, cond_hidden = cond_cache
                 kv_list = None

@@ -171,6 +171,54 @@ def test_kv_cache_hoist_matches_uncached(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_kv_cache_hoist_remat_safe(monkeypatch):
+    """Regression (ADVICE r2, high): default-ON TCDIFF_KV_CACHE used to
+    crash sampling for remat=True models — encode_cond_cfg returned the
+    3-tuple kv cache, __call__ set memory=None, but the remat layer branch
+    drops kv_cache so SBIMSA saw None. Under remat the hoist must be
+    skipped and guided() must still match the cache-off path exactly."""
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=8, latent_dim=32, ff_size=32, num_layers=2, num_heads=2,
+        dancer_num=2, head_dim=16,
+    )
+    tokens = cfg.seq_len * cfg.dancer_num
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, tokens, cfg.nfeats)).astype(np.float32))
+    cond = jnp.asarray(
+        rng.normal(size=(2, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)).astype(np.float32)
+    )
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = DanceDecoder(cfg).init(jax.random.key(0), x, cond, t)["params"]
+
+    model_r = DanceDecoder(cfg, remat=True)
+    diff_r = GaussianDiffusion(model_r, DiffusionConfig(sampling_timesteps=2, n_timestep=10))
+
+    monkeypatch.setenv("TCDIFF_KV_CACHE", "0")
+    jax.clear_caches()
+    ref = diff_r.guided(params, x, cond, t, 2.0, cond_cache=diff_r.encode_cond_cfg(params, cond))
+
+    monkeypatch.setenv("TCDIFF_KV_CACHE", "1")
+    jax.clear_caches()
+    cache_on = diff_r.encode_cond_cfg(params, cond)
+    assert len(cache_on) == 2, "remat model must not produce a kv cache"
+    out = diff_r.guided(params, x, cond, t, 2.0, cond_cache=cache_on)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    # a 3-tuple cache built by a NON-remat twin must also be safe to replay
+    # through the remat model (kv part ignored, memory path used)
+    diff_nr = GaussianDiffusion(
+        DanceDecoder(cfg), DiffusionConfig(sampling_timesteps=2, n_timestep=10)
+    )
+    cache3 = diff_nr.encode_cond_cfg(params, cond)
+    assert len(cache3) == 3
+    out3 = diff_r.guided(params, x, cond, t, 2.0, cond_cache=cache3)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref), atol=2e-6)
+
+
 def test_cfg_dedup_matches_doubled_batch(monkeypatch):
     """TCDIFF_CFG_DEDUP (x-prefix computed once per CFG pair) must match
     the plain doubled-batch forward, with and without TRPE."""

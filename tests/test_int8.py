@@ -107,3 +107,37 @@ def test_int8_training_path_untouched(env):
     jax.clear_caches()
     out = model.apply({"params": params}, x, cond, t, deterministic=False, rngs=rngs)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_int8_takes_precedence_over_block_kernel_defaults(env):
+    """Regression (ADVICE r2, low): TCDIFF_INT8=1 must not be silently
+    shadowed by the default-ON SAB/FFB/FFT block kernels — with int8 on
+    and no explicit block flags, the TPU defaults fall back to OFF; an
+    explicit =1 wins but emits a one-time warning."""
+    import warnings
+
+    from tcdiff_tpu.models.dance_decoder import (
+        _WARNED_INT8_SHADOW,
+        _use_ffb_tail,
+        _use_pallas_ffb,
+        _use_pallas_sab,
+    )
+
+    env.setenv("TCDIFF_INT8", "1")
+    for var in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB", "TCDIFF_PALLAS_FFT"):
+        env.delenv(var, raising=False)
+    assert not _use_pallas_sab()
+    assert not _use_pallas_ffb()
+    assert not _use_ffb_tail()
+
+    _WARNED_INT8_SHADOW.clear()
+    env.setenv("TCDIFF_PALLAS_SAB", "1")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert _use_pallas_sab()
+    assert any("int8" in str(w.message).lower() for w in rec)
+    # one-time only
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        assert _use_pallas_sab()
+    assert not rec2
