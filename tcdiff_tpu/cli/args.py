@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="generate causally slice-by-slice (low latency)")
     parser.add_argument("--eval_during_train", action="store_true", default=False,
                         help="compute quality metrics every save_interval epochs")
+    parser.add_argument(
+        "--traj_source", default="gt", choices=["gt", "dbn", "both"],
+        help="--mode eval trajectory setting: ground-truth (stage isolation), "
+             "DBN rollout+Kalman (full pipeline, paper-comparable), or both",
+    )
 
     # TPU-build extras
     parser.add_argument("--synthetic", action="store_true", default=False,

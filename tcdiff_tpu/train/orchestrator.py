@@ -366,10 +366,17 @@ class TCDiff:
                     # only visual smoke tests, SURVEY §4)
                     try:
                         report = self.evaluate_loop(opt, test_ds=test_ds)
-                        metrics.log(
-                            {f"eval/{k}": v for k, v in report.items()},
-                            step=int(self.state.step),
-                        )
+                        flat = {
+                            f"eval/{k}": v for k, v in report.items()
+                            if isinstance(v, (int, float))
+                        }
+                        for k, v in report.items():  # dbn_traj sub-dict
+                            if isinstance(v, dict):
+                                flat.update({
+                                    f"eval/{k}/{kk}": vv for kk, vv in v.items()
+                                    if isinstance(vv, (int, float))
+                                })
+                        metrics.log(flat, step=int(self.state.step))
                     except Exception as e:
                         self.logger.warning("eval failed: %s", e)
         if metrics is not None:
@@ -488,6 +495,14 @@ class TCDiff:
         The reference has no eval code at all (SURVEY §4); this computes the
         paper's quality axes: FID over kinetic/geometric features,
         diversity, beat alignment, foot skating, collision frequency.
+
+        `--traj_source {gt,dbn,both}` selects the trajectory setting:
+        `gt` conditions on ground-truth trajectories (the reference's
+        `val_without_TrajModel` stage isolation, `TCDiff.py:310-431`);
+        `dbn` runs the FULL two-stage pipeline — DBN rollout + Kalman
+        exactly as `test_loop` does (`TCDiff.py:503-553`) — so the report
+        is comparable to the paper's main (full-pipeline) table; `both`
+        reports the GT-setting metrics flat plus a `dbn_traj` sub-dict.
         """
         import json
 
@@ -501,6 +516,8 @@ class TCDiff:
             self.normalizer = test_ds.normalizer
         count = min(getattr(opt, "render_count", 30), len(test_ds))
         dn = self.cfg.model.dancer_num
+        traj_source = getattr(opt, "traj_source", "gt")
+        assert traj_source in ("gt", "dbn", "both"), traj_source
 
         def fk_batch(samples):
             _, pos, q = split_sample(samples, self.normalizer, dn)
@@ -515,20 +532,69 @@ class TCDiff:
         x = batch["x"]
         b, dnn, s, c = x.shape
         gt_flat = jnp.asarray(np.transpose(x, (0, 2, 1, 3)).reshape(b, s * dnn, c))
-        samples = self._sample(
-            batch["cond"], _gt_traj_x0(x), jax.random.key(self.cfg.train.seed)
-        )
-        gen_joints, gen_roots = fk_batch(samples)
         ref_joints, _ = fk_batch(gt_flat)
-        report = evaluate(
-            gen_joints, ref_joints, music_feats=list(batch["cond"]), gen_roots=gen_roots
-        )
+
+        def metric_set(x_0):
+            samples = self._sample(
+                batch["cond"], x_0, jax.random.key(self.cfg.train.seed)
+            )
+            gen_joints, gen_roots = fk_batch(samples)
+            return evaluate(
+                gen_joints, ref_joints,
+                music_feats=list(batch["cond"]), gen_roots=gen_roots,
+            )
+
+        report = {}
+        if traj_source in ("gt", "both"):
+            report.update(metric_set(_gt_traj_x0(x)))
+        if traj_source in ("dbn", "both"):
+            dbn_set = metric_set(self._make_dbn_traj_fn(opt)(x, batch["cond"]))
+            if traj_source == "dbn":
+                report.update(dbn_set)
+            else:
+                report["dbn_traj"] = dbn_set
+        report["traj_source"] = traj_source
         self.logger.info("eval metrics: %s", report)
         out = Path(getattr(opt, "project", "runs")) / getattr(opt, "exp_name", "exp")
         out.mkdir(parents=True, exist_ok=True)
         with open(out / "eval.json", "w") as f:
             json.dump(report, f, indent=2)
         return report
+
+    # ------------------------------------------------ DBN trajectory stage
+    def _make_dbn_traj_fn(self, opt):
+        """Build the DBN trajectory stage of the two-stage pipeline
+        (`TCDiff.py:503-553`): load the TrajDecoder, return a function
+        (x, cond) -> x_0 that seeds on the first `window_size` GT frames,
+        rolls out autoregressively, Kalman-smooths, and packs the generated
+        XY (+ zero z) in the sampler's x_0 layout. Shared by `test_loop`
+        and `evaluate_loop(traj_source="dbn")` so metrics exercise exactly
+        the render path."""
+        tcfg = self.cfg.traj
+        traj_model = TrajDecoder(tcfg)
+        traj_params = self._load_traj_params(opt, traj_model)
+        rollout = jax.jit(
+            lambda p, seed, music: autoregressive_rollout(
+                traj_model, p, seed, music, tcfg.window_size, tcfg.step
+            )
+        )
+
+        def dbn_traj(x, cond):
+            x = jnp.asarray(x)  # (b, dn, S, 151) normalized
+            cond = jnp.asarray(cond)
+            seed_traj = x[:, :, : tcfg.window_size, 4:6]
+            traj = rollout(traj_params, seed_traj, cond)  # (b, dn, L, 2)
+            traj = kalman_smooth_batch(traj)
+            s = x.shape[2]
+            if traj.shape[2] < s:  # music too short to roll the full clip
+                pad = jnp.repeat(traj[:, :, -1:], s - traj.shape[2], axis=2)
+                traj = jnp.concatenate([traj, pad], axis=2)
+            traj = traj[:, :, :s]  # clamp to the clip length
+            b, dn = traj.shape[:2]
+            xy = jnp.transpose(traj, (0, 2, 1, 3)).reshape(b, s * dn, 2)
+            return jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+
+        return dbn_traj
 
     # --------------------------------------------------- test loop (full DBN)
     def test_loop(self, opt, test_ds=None) -> None:
@@ -542,35 +608,17 @@ class TCDiff:
         if self.normalizer is None:
             self.normalizer = test_ds.normalizer
 
-        traj_model = TrajDecoder(tcfg)
-        traj_params = self._load_traj_params(opt, traj_model)
+        dbn_traj = self._make_dbn_traj_fn(opt)
         render_dir = os.path.join(
             getattr(opt, "render_dir", "renders"), "TEST_" + getattr(opt, "exp_name", "exp")
         )
         render_count = min(getattr(opt, "render_count", 30), len(test_ds))
         rng = np.random.default_rng(tcfg.seed)
 
-        rollout = jax.jit(
-            lambda p, seed, music: autoregressive_rollout(
-                traj_model, p, seed, music, tcfg.window_size, tcfg.step
-            )
-        )
-
         for epoch in range(1, getattr(opt, "epochs", 1) + 1):
             batch = next(iter(test_ds.batches(render_count, rng=rng)))
-            x = jnp.asarray(batch["x"])  # (b, dn, S, 151) normalized
             cond = jnp.asarray(batch["cond"])
-            seed_traj = x[:, :, : tcfg.window_size, 4:6]
-            traj = rollout(traj_params, seed_traj, cond)  # (b, dn, L, 2)
-            traj = kalman_smooth_batch(traj)
-            s = x.shape[2]
-            if traj.shape[2] < s:  # music too short to roll the full clip
-                pad = jnp.repeat(traj[:, :, -1:], s - traj.shape[2], axis=2)
-                traj = jnp.concatenate([traj, pad], axis=2)
-            traj = traj[:, :, :s]  # clamp to the clip length, like shape=(.., horizon*dn, ..)
-            b, dn = traj.shape[:2]
-            xy = jnp.transpose(traj, (0, 2, 1, 3)).reshape(b, s * dn, 2)
-            x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
+            x_0 = dbn_traj(batch["x"], cond)
             samples = self._sample(cond, x_0, jax.random.key(epoch))
             render_sample(
                 samples, self.normalizer, epoch, render_dir,
