@@ -57,10 +57,25 @@ def _ln(x, scale, bias, eps):
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
+_LOG2E = 1.4426950408889634
+
+
+def _softmax_rows(logits, exp2: bool):
+    """Row softmax in f32. exp2=True computes e^x as 2^(x*log2 e) — one VPU
+    multiply traded for exp->exp2, which Mosaic lowers more cheaply
+    (hardware exponent path); bit-level differences are ~1 ulp."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    if exp2:
+        e = jnp.exp2((logits - m) * jnp.float32(_LOG2E))
+    else:
+        e = jnp.exp(logits - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
 def _sa_block_kernel(
     x_ref, s1_ref, b1_ref, cos_ref, ssin_ref, wq_ref, wk_ref, wv_ref,
     wfc_ref, s2_ref, b2_ref, *rest, nhead, dk, scale, eps1, eps2, bias, film,
-    batched, wsplit
+    batched, wsplit, batched2, exp2
 ):
     rest = list(rest)
     if bias:
@@ -75,6 +90,56 @@ def _sa_block_kernel(
     rc = r.astype(wq_ref.dtype)
     yc = y.astype(wq_ref.dtype)
 
+    if batched2:
+        # NO-RESHAPE batched-heads layout (TCDIFF_SAB_BATCHED2): weights
+        # arrive pre-shaped (h, d, dk) / (h, dk, d) (free XLA reshapes
+        # OUTSIDE the kernel), so every in-kernel step is a dot_general
+        # with a LEADING batch dim — never the lane-splitting reshape that
+        # blocks the `batched` variant in Mosaic. The out projection runs
+        # per-head against (h, dk, d) slices of wfc and SUMS over heads —
+        # concat-then-matmul, reassociated (exact in f32 accumulation).
+        cd = wq_ref.dtype
+        qh = jax.lax.dot_general(  # (h, dk, L)
+            wq_ref[:].astype(cd), rc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+        kh = jax.lax.dot_general(
+            wk_ref[:].astype(cd), rc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+        vh = jax.lax.dot_general(
+            wv_ref[:].astype(cd), yc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+        logits = jax.lax.dot_general(  # (h, L, L)
+            qh * jnp.asarray(scale, cd), kh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if bias:
+            indexed = jax.lax.dot_general(  # (h, L, n_buckets), UNSCALED q
+                qh, table_ref[:].astype(cd), (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dist = dist_ref[0][None]
+            for n in range(N_TRJ_BUCKETS):
+                logits = logits + jnp.where(dist == n, indexed[:, :, n : n + 1], 0.0)
+        p = _softmax_rows(logits, exp2).astype(cd)
+        oh = jax.lax.dot_general(  # (h, L, dk)
+            p, vh, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(cd)
+        z3 = jax.lax.dot_general(  # (h, L, d)
+            oh, wfc_ref[:].astype(cd), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        sa = _ln(jnp.sum(z3, axis=0), s2_ref[:], b2_ref[:], eps2)
+        if film:
+            sa = (
+                x_ref[0].astype(jnp.float32)
+                + (fs_ref[0].astype(jnp.float32) + 1.0) * sa
+                + fb_ref[0].astype(jnp.float32)
+            )
+        o_ref[0] = sa.astype(o_ref.dtype)
+        return
     if not wsplit:
         # full-width projections on the MXU, f32 accumulation
         q = jnp.dot(rc, wq_ref[:], preferred_element_type=jnp.float32)
@@ -101,9 +166,7 @@ def _sa_block_kernel(
             dist = dist_ref[0][None]
             for n in range(N_TRJ_BUCKETS):
                 logits = logits + jnp.where(dist == n, indexed[:, :, n : n + 1], 0.0)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cd)
+        p = _softmax_rows(logits, exp2).astype(cd)
         oh = jax.lax.dot_general(
             p, vh, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (h, L, dk)
@@ -129,9 +192,7 @@ def _sa_block_kernel(
                 dist = dist_ref[0]
                 for n in range(N_TRJ_BUCKETS):
                     logits = logits + jnp.where(dist == n, indexed[:, n : n + 1], 0.0)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vi.dtype)
+            p = _softmax_rows(logits, exp2).astype(vi.dtype)
             outs.append(jnp.dot(p, vi, preferred_element_type=jnp.float32))
         o = jnp.concatenate(outs, axis=-1)
     else:
@@ -155,9 +216,7 @@ def _sa_block_kernel(
                 dist = dist_ref[0]
                 for n in range(N_TRJ_BUCKETS):
                     logits = logits + jnp.where(dist == n, indexed[:, n : n + 1], 0.0)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vi.dtype)
+            p = _softmax_rows(logits, exp2).astype(vi.dtype)
             outs.append(jnp.dot(p, vi, preferred_element_type=jnp.float32))
         o = jnp.concatenate(outs, axis=-1)  # (L, h*dk) f32
 
@@ -202,7 +261,8 @@ def fused_sa_block(
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mat3 = lambda a, r, c: pl.BlockSpec((a, r, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     wsplit = os.environ.get("TCDIFF_SAB_WSPLIT", "0") == "1"
-    if wsplit:
+    batched2 = os.environ.get("TCDIFF_SAB_BATCHED2", "0") == "1"
+    if wsplit or batched2:
         # (h, d, dk) weight layout: XLA performs the reshape outside the
         # kernel; in-kernel heads index the leading dim (no lane slicing)
         wq = wq.reshape(d, nhead, hd // nhead).swapaxes(0, 1)
@@ -211,16 +271,26 @@ def fused_sa_block(
         wproj = lambda: mat3(nhead, d, hd // nhead)
     else:
         wproj = lambda: mat(d, hd)
+    if batched2:
+        # the out projection runs per-head + sum: (h, dk, d) slices
+        wfc = wfc.reshape(nhead, hd // nhead, d)
+        wout_spec = mat3(nhead, hd // nhead, d)
+    else:
+        wout_spec = mat(hd, d)
     in_specs = [
         pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         vec(), vec(), mat(L, d), mat(L, d),
-        wproj(), wproj(), wproj(), mat(hd, d),
+        wproj(), wproj(), wproj(), wout_spec,
         vec(), vec(),
     ]
     args = [x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2]
     bias = table is not None and trj_dist is not None
     if bias:
-        if wsplit:
+        if batched2:
+            # (h, dk, n_buckets): contraction-ready for the batched2 form
+            table = table.reshape(N_TRJ_BUCKETS, nhead, hd // nhead).transpose(1, 2, 0)
+            in_specs += [mat3(nhead, hd // nhead, N_TRJ_BUCKETS)]
+        elif wsplit:
             table = table.reshape(N_TRJ_BUCKETS, nhead, hd // nhead).swapaxes(0, 1)
             in_specs += [mat3(nhead, N_TRJ_BUCKETS, hd // nhead)]
         else:
@@ -256,6 +326,13 @@ def fused_sa_block(
             # Mosaic versions. The sliced-loop layout is the default.
             batched=os.environ.get("TCDIFF_SAB_BATCHED", "0") == "1",
             wsplit=wsplit,
+            # TCDIFF_SAB_BATCHED2: no-reshape batched-heads layout — the
+            # round-3 answer to the Mosaic shape-cast blocker (weights
+            # pre-shaped outside, batch-leading dot_generals inside).
+            batched2=batched2,
+            # TCDIFF_SAB_EXP2: softmax exponential via exp2 (see
+            # _softmax_rows) — measured A/B against lax.exp lowering.
+            exp2=os.environ.get("TCDIFF_SAB_EXP2", "0") == "1",
         ),
         grid=(b,),
         in_specs=in_specs,

@@ -198,6 +198,43 @@ def test_pallas_sab_with_trpe_matches_flax(env):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
 
 
+def test_pallas_sab_batched2_matches_flax(env):
+    """TCDIFF_SAB_BATCHED2 (no-reshape batched-heads layout: weights
+    pre-shaped outside, batch-leading dot_generals + per-head out-proj sum)
+    must match the flax path, with and without TRPE, and with exp2
+    softmax."""
+    model, params, (x, cond, t) = _model_io()
+    tokens = x.shape[1]
+    rng = np.random.default_rng(12)
+    trj = jnp.asarray(rng.integers(0, 10, size=(2, tokens, tokens)), jnp.int32)
+    env.setenv("TCDIFF_PALLAS_SAB", "0")
+    ref = model.apply({"params": params}, *(x, cond, t))
+    ref_trj = model.apply({"params": params}, x, cond, t, None, trj)
+    env.setenv("TCDIFF_PALLAS_SAB", "1")
+    env.setenv("TCDIFF_SAB_BATCHED2", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *(x, cond, t))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+    out_trj = model.apply({"params": params}, x, cond, t, None, trj)
+    np.testing.assert_allclose(np.asarray(out_trj), np.asarray(ref_trj), atol=3e-5, rtol=3e-5)
+    env.setenv("TCDIFF_SAB_EXP2", "1")
+    jax.clear_caches()
+    out2 = model.apply({"params": params}, *(x, cond, t))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_sab_exp2_matches_flax(env):
+    """exp2 softmax on the DEFAULT sliced-head layout."""
+    model, params, io = _model_io()
+    env.setenv("TCDIFF_PALLAS_SAB", "0")
+    ref = model.apply({"params": params}, *io)
+    env.setenv("TCDIFF_PALLAS_SAB", "1")
+    env.setenv("TCDIFF_SAB_EXP2", "1")
+    jax.clear_caches()
+    out = model.apply({"params": params}, *io)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
 def test_pallas_sab_param_tree_unchanged(env):
     env.setenv("TCDIFF_PALLAS_SAB", "1")
     jax.clear_caches()
