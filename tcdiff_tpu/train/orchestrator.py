@@ -177,6 +177,25 @@ class TCDiff:
             jnp.zeros((1,), jnp.int32),
         )["params"]
 
+    def _check_dancer_count(self, params, path: str) -> None:
+        """The fusion projection's input width is d*dancer_num, so a
+        checkpoint is only valid for the dancer count it was trained with
+        (the reference silently assumes this throughout `TCDiff.py:310-625`
+        and would crash with an opaque shape error). Raise explicitly."""
+        try:
+            kern = params["relative_projection_0"]["kernel"]
+        except (KeyError, TypeError):
+            return
+        d = self.cfg.model.latent_dim
+        dn_ckpt = int(kern.shape[0]) // d
+        if dn_ckpt != self.cfg.model.dancer_num:
+            raise ValueError(
+                f"checkpoint {path} was trained for {dn_ckpt} dancers but this "
+                f"run is configured for {self.cfg.model.dancer_num} "
+                f"(--required_dancer_num); re-run with "
+                f"--required_dancer_num {dn_ckpt} or use a matching checkpoint"
+            )
+
     def _load_checkpoint(self, path: str) -> None:
         if path.endswith(".pt"):
             from tcdiff_tpu.utils import load_reference_checkpoint
@@ -184,6 +203,7 @@ class TCDiff:
             params, norm = load_reference_checkpoint(
                 path, num_layers=self.cfg.model.num_layers, use_ema=self.use_ema_for_eval
             )
+            self._check_dancer_count(params, path)
             params = jax.tree.map(jnp.asarray, params)
             self.state = self.state.replace(
                 params=params, ema_params=jax.tree.map(jnp.copy, params)
@@ -196,7 +216,21 @@ class TCDiff:
             if found is None:
                 raise FileNotFoundError(f"no ckpt_* under {path}")
             path = found
-        self.state, norm = restore_train_state(path, self.state)
+        try:
+            self.state, norm = restore_train_state(path, self.state)
+        except Exception as err:
+            # a mid-restore shape error is most often a dancer-count
+            # mismatch; diagnose it from the raw checkpoint and say so
+            from tcdiff_tpu.utils import load_checkpoint
+
+            try:
+                raw = load_checkpoint(path)
+                raw_params = raw["state"]["params"]
+            except Exception:
+                raise err
+            self._check_dancer_count(raw_params, path)
+            raise
+        self._check_dancer_count(self.state.params, path)
         if norm is not None:
             self.normalizer = norm
         self.logger.info("restored checkpoint %s (step %d)", path, int(self.state.step))
@@ -630,6 +664,39 @@ class TCDiff:
             self.logger.info("[TEST-RENDER SAVED at Epoch %d]", epoch)
 
     # ------------------------------------------------- wav -> dance serving
+    def _window_starts(self, feats, wav_path):
+        """Window starts for slicing `feats` into 301-frame windows at
+        2.5 s stride. Audio shorter than one 5 s window is edge-padded to
+        one full window (the caller truncates the generated motion back to
+        the true audio length) instead of erroring — the reference
+        silently assumes well-formed input (`TCDiff.py:310-625`)."""
+        seq = self.cfg.model.seq_len
+        win_f, stride_f = 2 * seq + 1, seq
+        if feats.shape[0] < 2:
+            raise ValueError(f"{wav_path}: audio too short to extract any features")
+        true_motion = feats.shape[0] // 2  # music runs at 2x motion FPS
+        starts = list(range(0, feats.shape[0] - win_f + 1, stride_f))
+        if not starts:
+            pad = win_f - feats.shape[0]
+            self.logger.warning(
+                "%s: audio (%d feature frames) shorter than one 5 s window; "
+                "edge-padding and truncating the motion to %d frames",
+                wav_path, feats.shape[0], true_motion,
+            )
+            feats = np.concatenate([feats, np.repeat(feats[-1:], pad, axis=0)])
+            starts = [0]
+        else:
+            true_motion = (len(starts) - 1) * (seq // 2) + seq
+        return feats, starts, true_motion
+
+    @staticmethod
+    def _truncate_motion(flat, seq, dn, m):
+        """(b, seq*dn, C) time-major tokens -> first m motion frames."""
+        if m >= seq:
+            return flat
+        b, _, c = flat.shape
+        return flat.reshape(b, seq, dn, c)[:, :m].reshape(b, m * dn, c)
+
     def generate(self, wav_path: str, opt) -> np.ndarray:
         """Direct wav-to-choreography inference (`--mode generate`).
 
@@ -647,10 +714,8 @@ class TCDiff:
         tcfg = self.cfg.traj
         seq = mcfg.seq_len
         feats = wav_processing(wav_path)  # (F, 438) @ 60 FPS
-        win_f, stride_f = 2 * seq + 1, seq  # 301-frame windows, 2.5 s stride
-        starts = list(range(0, feats.shape[0] - win_f + 1, stride_f))
-        if not starts:
-            raise ValueError(f"{wav_path}: audio shorter than one 5 s window")
+        win_f = 2 * seq + 1  # 301-frame windows, 2.5 s stride
+        feats, starts, true_motion = self._window_starts(feats, wav_path)
         cond = np.stack([feats[s : s + win_f] for s in starts])  # (n, 301, 438)
         n = len(starts)
         dn = mcfg.dancer_num
@@ -687,17 +752,25 @@ class TCDiff:
             x0.append(jnp.concatenate([xy, jnp.zeros_like(xy[:, :1])], axis=-1))
         x_0 = jnp.stack(x0)  # (n, seq*dn, 3)
 
-        samples = self._sample(cond, x_0, jax.random.key(self.cfg.train.seed), "long")
+        # a single (possibly padded) window has no neighbor to couple with:
+        # plain DDIM, truncated back to the true audio length
+        mode = "long" if n > 1 else "normal"
+        samples = self._sample(cond, x_0, jax.random.key(self.cfg.train.seed), mode)
+        if n == 1:
+            samples = self._truncate_motion(samples, seq, dn, true_motion)
         stem = os.path.splitext(os.path.basename(wav_path))[0]
         return render_sample(
             samples, self.normalizer, "gen",
             os.path.join(getattr(opt, "render_dir", "renders"), "GEN_" + stem),
             dn, fk_out=getattr(opt, "vis_fk_out", None),
-            name=[wav_path] * n, sound=False, mode="long",
+            name=[wav_path] * n, sound=False, mode=mode,
             render=getattr(opt, "render", True),
         )
 
-    def generate_streaming(self, wav_path: str, opt, on_slice=None) -> np.ndarray:
+    def generate_streaming(
+        self, wav_path: str, opt, on_slice=None,
+        resume_from: int = 0, resume_tail=None,
+    ) -> np.ndarray:
         """Low-latency wav-to-dance: slices are generated CAUSALLY, one at a
         time, each inpainting its first half-window from the previous
         slice's tail (`ddim_sample_stream`). First motion appears after one
@@ -716,7 +789,15 @@ class TCDiff:
         `on_slice(i, s4)`: optional consumer called with each slice's device
         array as soon as it is enqueued — a live client would block on
         exactly one slice here. Returns the assembled (L, dn, 151) motion
-        and renders/exports like `generate`."""
+        and renders/exports like `generate`.
+
+        Mid-song resume: `resume_from=k` restarts generation at slice k
+        given `resume_tail`, the (1, half*dn, C) normalized tail of slice
+        k-1 (as produced by a previous run's slices). Each slice depends
+        only on (its window, its trajectory, its key, the previous tail)
+        and the trajectory streamer is deterministic, so the resumed
+        stream is bit-identical to the uninterrupted one; the return value
+        covers slices k..end."""
         from tcdiff_tpu.data.features import wav_processing
         from tcdiff_tpu.trajdecoder.streaming import TrajectoryStreamer
 
@@ -726,10 +807,18 @@ class TCDiff:
         seq, dn = mcfg.seq_len, mcfg.dancer_num
         half = seq // 2
         feats = wav_processing(wav_path)
-        win_f, stride_f = 2 * seq + 1, seq
-        starts = list(range(0, feats.shape[0] - win_f + 1, stride_f))
-        if not starts:
-            raise ValueError(f"{wav_path}: audio shorter than one 5 s window")
+        win_f = 2 * seq + 1
+        feats, starts, true_motion = self._window_starts(feats, wav_path)
+        if resume_from:
+            if not 0 < resume_from < len(starts):
+                raise ValueError(
+                    f"resume_from={resume_from} out of range (1..{len(starts) - 1})"
+                )
+            if resume_tail is None:
+                raise ValueError("resume_from needs resume_tail (previous slice's tail)")
+            starts_iter = list(enumerate(starts))[resume_from:]
+        else:
+            starts_iter = list(enumerate(starts))
 
         # trajectory seed: default circle formation, as in generate()
         angles = 2 * np.pi * np.arange(dn) / dn
@@ -748,8 +837,8 @@ class TCDiff:
         stream_fn = jax.jit(self.diffusion.ddim_sample_stream, static_argnums=(1,))
         params = self.eval_params()
         pieces = []
-        prev_tail = None
-        for i, s in enumerate(starts):
+        prev_tail = None if not resume_from else jnp.asarray(resume_tail)
+        for i, s in starts_iter:
             t = streamer.frames(i * half + seq)[0, :, i * half : i * half + seq]
             xy = jnp.transpose(t, (1, 0, 2)).reshape(1, seq * dn, 2)
             x_0 = jnp.concatenate([xy, jnp.zeros_like(xy[..., :1])], axis=-1)
@@ -765,6 +854,8 @@ class TCDiff:
                 on_slice(i, s4)
 
         full = np.asarray(jnp.concatenate(pieces, axis=0))  # (L, dn, C) normalized
+        if not resume_from and full.shape[0] > true_motion:
+            full = full[:true_motion]  # padded short audio: drop the pad tail
         flat = jnp.asarray(full.reshape(1, -1, mcfg.nfeats))
         stem = os.path.splitext(os.path.basename(wav_path))[0]
         render_sample(
