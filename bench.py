@@ -59,11 +59,10 @@ def _flops_per_call(compiled) -> float:
         return 0.0
 
 
-def _analytic_sampler_flops(cfg, batch: int, steps: int) -> float:
-    """Matmul+attention FLOPs of one 50-step DDIM call: `steps` guided
-    forwards (CFG doubles the batch) of the DanceDecoder denoiser, with the
-    music-cond encoder hoisted out of the scan (counted once). Mirrors
-    tcdiff_tpu/models/dance_decoder.py's dataflow; 2 FLOPs per MAC."""
+def _analytic_fwd_macs(cfg):
+    """Per-sample matmul+attention MACs of (one denoiser forward, one
+    music-cond encoding). Mirrors tcdiff_tpu/models/dance_decoder.py's
+    dataflow."""
     d, ff, L = cfg.latent_dim, cfg.ff_size, cfg.num_layers
     dn, seq, C = cfg.dancer_num, cfg.seq_len, cfg.nfeats
     tokens = seq * dn
@@ -92,8 +91,28 @@ def _analytic_sampler_flops(cfg, batch: int, steps: int) -> float:
         + 2 * (4 * seq * d * d + 2 * 2 * seq * seq * d + 2 * seq * d * ff)  # 2 enc layers
         + 2 * d * d  # non-attn pooled MLP
     )
+    return per_fwd, cond_once
+
+
+def _analytic_sampler_flops(cfg, batch: int, steps: int) -> float:
+    """Matmul+attention FLOPs of one 50-step DDIM call: `steps` guided
+    forwards (CFG doubles the batch) of the DanceDecoder denoiser, with the
+    music-cond encoder hoisted out of the scan (counted once); 2 FLOPs/MAC."""
+    per_fwd, cond_once = _analytic_fwd_macs(cfg)
     guided_batch = 2 * batch
     return 2.0 * guided_batch * (steps * per_fwd + cond_once)
+
+
+def _analytic_train_flops(cfg, batch: int) -> float:
+    """Matmul+attention FLOPs of one train step: forward + backward of one
+    full denoiser forward per sample (cond encoder runs per step in
+    training — no hoist). Standard MFU accounting: backward costs 2x the
+    forward's matmul FLOPs (grad wrt activations + grad wrt weights), so
+    train = 3x fwd. The FK loss / Adan update are quaternion/elementwise
+    chains — O(batch * seq * joints) FLOPs, <0.1% of the matmuls — and are
+    deliberately excluded so MFU is not flattered."""
+    per_fwd, cond_once = _analytic_fwd_macs(cfg)
+    return 2.0 * batch * 3.0 * (per_fwd + cond_once)
 
 
 def bench_train():
@@ -133,6 +152,14 @@ def bench_train():
 
     state, m = step(state, xs, cs, key)
     float(m["total"])  # sync
+
+    # BENCH_PROFILE_DIR: capture one traced step (tools/parse_xplane.py)
+    prof_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            state, m = step(state, xs, cs, key)
+            float(m["total"])
+
     reps = int(os.environ.get("BENCH_REPS", "10"))
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -149,19 +176,20 @@ def bench_train():
     except (OSError, KeyError, ValueError):
         anchor = None
     samples_per_s = batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"train_steps/sec (batch {batch}, 3 dancers)",
-                "value": round(1.0 / dt, 3),
-                "unit": "steps/s",
-                # null (not steps/s) when no anchor: keep the field's unit
-                # stable for downstream consumers (ADVICE r2, low)
-                "vs_baseline": round(samples_per_s / anchor, 3) if anchor else None,
-                "train_samples_per_s": round(samples_per_s, 1),
-            }
-        )
-    )
+    result = {
+        "metric": f"train_steps/sec (batch {batch}, 3 dancers)",
+        "value": round(1.0 / dt, 3),
+        "unit": "steps/s",
+        # null (not steps/s) when no anchor: keep the field's unit
+        # stable for downstream consumers (ADVICE r2, low)
+        "vs_baseline": round(samples_per_s / anchor, 3) if anchor else None,
+        "train_samples_per_s": round(samples_per_s, 1),
+    }
+    if jax.devices()[0].platform != "cpu":
+        an_flops = _analytic_train_flops(cfg, batch)
+        result["mfu_vs_v5e_bf16_peak"] = round(an_flops / dt / V5E_PEAK_BF16, 4)
+        result["analytic_tflops_per_step"] = round(an_flops / 1e12, 3)
+    print(json.dumps(result))
 
 
 def bench_stream():

@@ -44,6 +44,8 @@ STEPS = int(os.environ.get("DYN_STEPS", "400"))
 BATCH = int(os.environ.get("DYN_BATCH", "32"))
 N_DATA = int(os.environ.get("DYN_DATA", "256"))
 EVAL_SAMPLES = int(os.environ.get("DYN_EVAL", "8"))
+SEED = int(os.environ.get("DYN_SEED", "0"))  # data/init/train-rng seed
+DANCERS = int(os.environ.get("DYN_DANCERS", "3"))
 TINY = os.environ.get("DYN_TINY", "0") == "1"  # CPU smoke-test sizing
 if TINY:
     # smoke tests must NOT grab the axon TPU (never run two TPU
@@ -96,28 +98,31 @@ def eval_metrics(diff, model, params, normalizer, eval_x, eval_cond, key,
     gt_flat = jnp.transpose(jnp.asarray(eval_x), (0, 2, 1, 3)).reshape(b, s * dn, c)
     ref = _fk(gt_flat, normalizer, dn)
     rep = evaluate(gen, ref)
-    return {k: float(v) for k, v in rep.items() if k in ("fid_k", "div_k", "foot_skate", "gmc")}
+    keep = ("fid_k", "fid_g", "div_k", "div_g", "foot_skate", "gmc")
+    return {k: float(v) for k, v in rep.items() if k in keep}
 
 
 def train_denoiser(log):
     if TINY:
         cfg = DanceDecoderConfig(
             seq_len=16, latent_dim=32, ff_size=32, num_layers=1, num_heads=2,
-            dancer_num=3, head_dim=16,
+            dancer_num=DANCERS, head_dim=16,
         )
         dcfg = DiffusionConfig(sampling_timesteps=2, n_timestep=10)
     else:
-        cfg = DanceDecoderConfig(dancer_num=3)
+        cfg = DanceDecoderConfig(dancer_num=DANCERS)
         dcfg = DiffusionConfig()
     model = DanceDecoder(cfg, dtype=jnp.bfloat16)
     diff = GaussianDiffusion(model, dcfg)
-    tokens = cfg.seq_len * 3
-    poses, music, normalizer = synthetic_dataset(N_DATA, 3, cfg.seq_len, seed=0)
-    eval_poses, eval_music, _ = synthetic_dataset(EVAL_SAMPLES, 3, cfg.seq_len, seed=99)
+    tokens = cfg.seq_len * DANCERS
+    poses, music, normalizer = synthetic_dataset(N_DATA, DANCERS, cfg.seq_len, seed=SEED)
+    eval_poses, eval_music, _ = synthetic_dataset(
+        EVAL_SAMPLES, DANCERS, cfg.seq_len, seed=99 + SEED
+    )
 
     mesh = make_mesh()
     params = model.init(
-        jax.random.key(0),
+        jax.random.key(SEED),
         jnp.zeros((1, tokens, cfg.nfeats)),
         jnp.zeros((1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)),
         jnp.zeros((1,), jnp.int32),
@@ -125,15 +130,15 @@ def train_denoiser(log):
     tx = adan(5e-5, weight_decay=0.02)
     state = jax.device_put(create_train_state(params, tx), replicated(mesh))
     step = jax.jit(make_train_step(diff, tx), donate_argnums=0)
-    key = jax.device_put(jax.random.key(1), replicated(mesh))
+    key = jax.device_put(jax.random.key(SEED + 1), replicated(mesh))
 
     pre_eval = eval_metrics(
         diff, model, state.params, normalizer, jnp.asarray(eval_poses),
-        eval_music, jax.random.key(7),
+        eval_music, jax.random.key(SEED + 7),
     )
     log({"event": "denoiser_eval", "step": 0, **pre_eval})
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(SEED)
     first = last = None
     t0 = time.perf_counter()
     for i in range(STEPS):
@@ -152,7 +157,7 @@ def train_denoiser(log):
 
     post_eval = eval_metrics(
         diff, model, state.params, normalizer, jnp.asarray(eval_poses),
-        eval_music, jax.random.key(7),
+        eval_music, jax.random.key(SEED + 7),
     )
     log({"event": "denoiser_eval", "step": STEPS, **post_eval})
     out = {
@@ -169,7 +174,7 @@ def train_denoiser(log):
     for k in [int(v) for v in fks.split(",") if v.strip()]:
         fe = eval_metrics(
             diff, model, state.params, normalizer, jnp.asarray(eval_poses),
-            eval_music, jax.random.key(7), forecast=k,
+            eval_music, jax.random.key(SEED + 7), forecast=k,
         )
         log({"event": "denoiser_eval_forecast", "k": k, **fe})
         out[f"denoiser_eval_forecast{k}"] = fe
