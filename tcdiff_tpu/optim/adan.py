@@ -12,16 +12,25 @@ Semantics match the reference implementation
 
 The restart condition (`adan.py:111-116`) is not reproduced — the reference
 never passes one (`TCDiff.py:110` constructs Adan without it).
+
+By default the elementwise math runs over ONE raveled flat vector (see
+optim/flatten.py — a measured 27%-of-step win over per-leaf fusions) and the
+results are sliced back into the unchanged per-leaf state layout; set
+TCDIFF_FLAT_OPT=0 or pass fused=False for the per-leaf form (automatic when
+param dtypes are mixed). The two are elementwise-identical.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import os
+from typing import NamedTuple, Optional, Tuple
 
 import chex
 import jax
 import jax.numpy as jnp
 import optax
+
+from tcdiff_tpu.optim.flatten import flat, homogeneous_dtype, unflat_like
 
 
 class AdanState(NamedTuple):
@@ -37,35 +46,28 @@ def adan(
     betas: Tuple[float, float, float] = (0.02, 0.08, 0.01),
     eps: float = 1e-8,
     weight_decay: float = 0.0,
+    fused: Optional[bool] = None,
 ) -> optax.GradientTransformation:
     b1, b2, b3 = betas
+    if fused is None:
+        fused = os.environ.get("TCDIFF_FLAT_OPT", "1") == "1"
 
     def init_fn(params):
         zeros = lambda: jax.tree.map(jnp.zeros_like, params)
         return AdanState(jnp.zeros([], jnp.int32), zeros(), zeros(), zeros(), zeros())
 
+    def _moments(first, g, m0, v0, n0, pg):
+        """Elementwise moment updates — shared by the per-leaf and flat
+        forms (`adan.py:71-84`; buffers stay zero on step one)."""
+        m = jnp.where(first, m0, m0 * (1 - b1) + g * b1)
+        v = jnp.where(first, v0, v0 * (1 - b2) + (g - pg) * b2)
+        n = jnp.where(first, n0, n0 * (1 - b3) + (g + (1 - b2) * (g - pg)) ** 2 * b3)
+        return m, v, n
+
     def update_fn(grads, state, params):
         if params is None:
             raise ValueError("adan requires params (decay is multiplicative on weights)")
         first = state.count == 0  # buffers stay zero on step one (`adan.py:71-84`)
-        m = jax.tree.map(
-            lambda g, m: jnp.where(first, m, m * (1 - b1) + g * b1), grads, state.m
-        )
-        v = jax.tree.map(
-            lambda g, v, pg: jnp.where(first, v, v * (1 - b2) + (g - pg) * b2),
-            grads,
-            state.v,
-            state.prev_grad,
-        )
-        n = jax.tree.map(
-            lambda g, n, pg: jnp.where(
-                first, n, n * (1 - b3) + (g + (1 - b2) * (g - pg)) ** 2 * b3
-            ),
-            grads,
-            state.n,
-            state.prev_grad,
-        )
-
         count = state.count + 1
         cf = count.astype(jnp.float32)
         correct_m = 1.0 / (1.0 - (1.0 - b1) ** cf)
@@ -78,6 +80,37 @@ def adan(
             new_p = (p - step_size * (m * correct_m + (1 - b2) * v * correct_v)) / denom
             return new_p - p
 
+        if fused and homogeneous_dtype(params):
+            # one flat fused update; per-leaf state layout preserved via
+            # slice-backs (optim/flatten.py)
+            g = flat(grads)
+            m, v, n = _moments(
+                first, g, flat(state.m), flat(state.v), flat(state.n),
+                flat(state.prev_grad),
+            )
+            updates = unflat_like(delta(flat(params), m, v, n), params)
+            return updates, AdanState(
+                count,
+                unflat_like(m, params),
+                unflat_like(v, params),
+                unflat_like(n, params),
+                grads,
+            )
+
+        # per-leaf fallback (mixed dtypes / opt-out)
+        m = jax.tree.map(
+            lambda g, m0: jnp.where(first, m0, m0 * (1 - b1) + g * b1), grads, state.m
+        )
+        v = jax.tree.map(
+            lambda g, v0, pg: jnp.where(first, v0, v0 * (1 - b2) + (g - pg) * b2),
+            grads, state.v, state.prev_grad,
+        )
+        n = jax.tree.map(
+            lambda g, n0, pg: jnp.where(
+                first, n0, n0 * (1 - b3) + (g + (1 - b2) * (g - pg)) ** 2 * b3
+            ),
+            grads, state.n, state.prev_grad,
+        )
         updates = jax.tree.map(delta, params, m, v, n)
         return updates, AdanState(count, m, v, n, grads)
 

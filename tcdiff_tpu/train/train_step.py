@@ -23,6 +23,7 @@ import optax
 
 from tcdiff_tpu.diffusion import GaussianDiffusion
 from tcdiff_tpu.optim import ema_update
+from tcdiff_tpu.optim.flatten import flat, homogeneous_dtype, unflat_like
 from tcdiff_tpu.train.state import TrainState
 
 
@@ -49,10 +50,17 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
 
         do_ema = (state.step % ema_interval) == 0
-        lerped = ema_update(state.ema_params, new_params, ema_beta)
-        new_ema = jax.tree.map(
-            lambda e, l: jnp.where(do_ema, l, e), state.ema_params, lerped
-        )
+        if homogeneous_dtype(state.ema_params):
+            # one flat fused lerp (see optim/flatten.py), elementwise-
+            # identical to the per-leaf form
+            fe = flat(state.ema_params)
+            fl = fe * ema_beta + (1.0 - ema_beta) * flat(new_params)
+            new_ema = unflat_like(jnp.where(do_ema, fl, fe), state.ema_params)
+        else:
+            lerped = ema_update(state.ema_params, new_params, ema_beta)
+            new_ema = jax.tree.map(
+                lambda e, l: jnp.where(do_ema, l, e), state.ema_params, lerped
+            )
 
         new_state = state.replace(
             step=state.step + 1,

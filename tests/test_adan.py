@@ -64,3 +64,48 @@ def test_ema_update():
     cur = {"w": jnp.ones((3,))}
     out = ema_update(ema, cur, beta=0.9)
     np.testing.assert_allclose(np.asarray(out["w"]), 0.1)
+
+
+def test_adan_fused_matches_per_leaf():
+    """The flat-vector fused form (optim/flatten.py) must be elementwise-
+    IDENTICAL to the per-leaf form: same updates, same AdanState leaves,
+    over several steps (covers the first-step zero-buffer quirk too)."""
+    rng = np.random.default_rng(5)
+    params = {
+        "a": {"kernel": jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)},
+        "b": jnp.asarray(rng.normal(size=(7,)), jnp.float32),
+    }
+    txf = adan(3e-4, weight_decay=0.02, fused=True)
+    txp = adan(3e-4, weight_decay=0.02, fused=False)
+    sf, sp = txf.init(params), txp.init(params)
+    pf = pp = params
+    for i in range(3):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+        )
+        uf, sf = txf.update(g, sf, pf)
+        up, sp = txp.update(g, sp, pp)
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+            uf, up,
+        )
+        for field in ("m", "v", "n", "prev_grad"):
+            jax.tree.map(
+                lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+                getattr(sf, field), getattr(sp, field),
+            )
+        pf = optax.apply_updates(pf, uf)
+        pp = optax.apply_updates(pp, up)
+
+
+def test_adan_fused_falls_back_on_mixed_dtypes():
+    params = {
+        "a": jnp.ones((4,), jnp.float32),
+        "b": jnp.ones((4,), jnp.bfloat16),
+    }
+    tx = adan(1e-3, fused=True)
+    state = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(g, state, params)  # must not raise
+    assert updates["a"].dtype == jnp.float32
+    assert state.m["b"].dtype == jnp.bfloat16
