@@ -127,6 +127,24 @@ def _use_pallas_sab() -> bool:
     return _flag_default_on_tpu("TCDIFF_PALLAS_SAB")
 
 
+def _use_train_sab() -> bool:
+    """TCDIFF_TRAIN_SAB=1 routes the TRAINING-path self-attention block
+    (norm1 -> rotary -> q/k/v -> attention -> dropout -> fc -> dropout ->
+    post-LN -> dropout -> FiLM residual) through one Pallas program with a
+    hand-written flash-style backward (ops/fused_sa_block_train.py) — the
+    train-step profile's largest bucket (XLA materializes the (b,h,L,L)
+    attention probabilities in HBM for the backward). Opt-in until the TPU
+    A/B lands. Dropout inside the kernel uses a hash-counter PRNG — a
+    different (identically-distributed) draw than flax's threefry, like
+    changing the seed. Training never passes trj_dist (TRPE applies only at
+    sampling; the reference's train callsites never pass it,
+    `/root/reference/model/model.py:446-540`), so the kernel omits the
+    TRPE bias path."""
+    import os
+
+    return os.environ.get("TCDIFF_TRAIN_SAB", "0") == "1"
+
+
 class _CAKV(nn.Module):
     """Parameter-only access to a layer's cross-attention k/v kernels
     (decoder_i/multihead_attn/{w_ks,w_vs}) for the hoisted-k/v cond cache."""
@@ -631,6 +649,35 @@ class FiLMTransformerDecoderLayer(nn.Module):
                     x = jnp.concatenate([x, x], axis=0)
                     traj_emb = jnp.concatenate([traj_emb, traj_emb], axis=0)
                 x = x + featurewise_affine(sa, (fsc, fsh))
+        elif (not deterministic) and _use_train_sab() and trj_dist is None:
+            # fused TRAIN self-attention block: custom-VJP Pallas program
+            # (ops/fused_sa_block_train.py); params shared 1:1 with the
+            # unfused flax path via the stand-in modules
+            from tcdiff_tpu.ops.fused_sa_block_train import (
+                fused_sa_block_train,
+                sa_train_tables,
+            )
+
+            s1, b1 = _LNParams(d, name="norm1")()
+            wq, wk, wv, fc, s2, b2 = _SAParams(
+                d, self.n_head * self.head_dim, name="self_attn"
+            )()
+            fsc, fsh = DenseFiLM(d, self.dtype, name="film1")(t)
+            cos, ssin = sa_train_tables(x, angles_x, d)
+            rate = float(self.dropout)
+            if rate > 0.0:
+                seeds = jax.random.bits(
+                    self.make_rng("dropout"), (x.shape[0],), jnp.uint32
+                )
+            else:
+                seeds = jnp.zeros((x.shape[0],), jnp.uint32)
+            x = fused_sa_block_train(
+                x, s1, b1, cos, ssin,
+                wq.astype(self.dtype), wk.astype(self.dtype),
+                wv.astype(self.dtype), fc.astype(self.dtype), s2, b2,
+                fsc[:, 0], fsh[:, 0], seeds,
+                self.n_head, rate, 1e-5, 1e-6,
+            )
         else:
             if fuse_lnrot:
                 s1, b1 = _LNParams(d, name="norm1")()
