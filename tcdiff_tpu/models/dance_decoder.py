@@ -214,6 +214,18 @@ def _use_kv_cache() -> bool:
     return os.environ.get("TCDIFF_KV_CACHE", "1") == "1"
 
 
+def _use_kv_batch() -> bool:
+    """TCDIFF_KV_BATCH=1: with the hoisted-k/v cache active, project ALL
+    decoder layers' 2 t-token rows in one stacked einsum pair per sampling
+    step instead of 2 tiny (2, d)@(d, hd) matmuls inside every layer — the
+    per-layer k/v assembly named in the round-2 profile's 63 ms XLA
+    remainder. Exact same math; the stacked kernels ride in the cond cache
+    (built once per clip). Opt-in until the TPU A/B lands."""
+    import os
+
+    return os.environ.get("TCDIFF_KV_BATCH", "0") == "1"
+
+
 def _use_ffb_tail() -> bool:
     """TCDIFF_PALLAS_FFT extends the FF-block kernel through the layer
     tail: residual+FiLM and the closing linear3(norm4(x)) run in the same
@@ -409,7 +421,7 @@ class SBIMSA(nn.Module):
     @nn.compact
     def __call__(
         self, q_in, k_in, v_in, shared_emb=None, trj_dist=None, *,
-        deterministic=True, prenorm=None, kv_parts=None,
+        deterministic=True, prenorm=None, kv_parts=None, kv_projected=False,
     ):
         h, dk = self.n_head, self.dk
         if prenorm is not None:
@@ -447,18 +459,24 @@ class SBIMSA(nn.Module):
         elif kv_parts is not None:
             # cross-attention with hoisted music-token k/v (_use_kv_cache):
             # only the 2 t_token rows are projected here; the 150 ct rows'
-            # k/v ride in from the cond cache — exact same per-row math
-            kct, vct, norm_t, rot_t = kv_parts
+            # k/v ride in from the cond cache — exact same per-row math.
+            # kv_parts is (kct, vct, norm_t, rot_t) raw t-rows projected
+            # here, or — with kv_projected=True — (kct, vct, kt, vt)
+            # already projected by the model's batched all-layer einsum
+            # (_use_kv_batch).
+            kct, vct, tp3, tp4 = kv_parts
             b, lq = q_in.shape[0], q_in.shape[1]
             q = nn.Dense(h * dk, use_bias=False, dtype=self.dtype, name="w_qs")(q_in)
-            wk = _DenseKernel(norm_t.shape[-1], h * dk, name="w_ks")().astype(self.dtype)
-            wv = _DenseKernel(norm_t.shape[-1], h * dk, name="w_vs")().astype(self.dtype)
-            k = jnp.concatenate(
-                [kct.astype(self.dtype), rot_t.astype(self.dtype) @ wk], axis=1
-            )
-            v = jnp.concatenate(
-                [vct.astype(self.dtype), norm_t.astype(self.dtype) @ wv], axis=1
-            )
+            if kv_projected:
+                kt, vt = tp3, tp4
+            else:
+                norm_t, rot_t = tp3, tp4
+                wk = _DenseKernel(norm_t.shape[-1], h * dk, name="w_ks")().astype(self.dtype)
+                wv = _DenseKernel(norm_t.shape[-1], h * dk, name="w_vs")().astype(self.dtype)
+                kt = rot_t.astype(self.dtype) @ wk
+                vt = norm_t.astype(self.dtype) @ wv
+            k = jnp.concatenate([kct.astype(self.dtype), kt.astype(self.dtype)], axis=1)
+            v = jnp.concatenate([vct.astype(self.dtype), vt.astype(self.dtype)], axis=1)
             lk = k.shape[1]
         else:
             b, lq = q_in.shape[0], q_in.shape[1]
@@ -608,7 +626,8 @@ class FiLMTransformerDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, memory, t, traj_emb, shared_emb, trj_dist=None, *,
-                 deterministic=True, kv_cache=None, tile_sa=False):
+                 deterministic=True, kv_cache=None, kv_projected=False,
+                 tile_sa=False):
         """tile_sa: CFG-dedup mode (see _use_cfg_dedup) — x/traj_emb/
         trj_dist arrive at HALF batch; the self-attention block runs once
         and its output is tiled to the doubled batch at the first FiLM
@@ -712,6 +731,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
             ca = SBIMSA(self.n_head, d, self.head_dim, self.dropout, self.dtype, name="multihead_attn")(
                 q, None, None, shared_emb, None,
                 deterministic=deterministic, kv_parts=kv_cache,
+                kv_projected=kv_projected,
             )
             ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
             x = x + featurewise_affine(ca, DenseFiLM(d, self.dtype, name="film2")(t))
@@ -950,6 +970,7 @@ class DanceDecoder(nn.Module):
                     ang_full = jnp.asarray(rotary_freqs(ct.shape[1] + 2, d))
                     rot_ct = apply_rotary(norm_ct, ang_full[: ct.shape[1]])
                     kv = []
+                    wks, wvs = [], []
                     for i in range(cfg.num_layers):
                         wk_i, wv_i = _LayerCAKV(
                             d, cfg.head_dim * cfg.num_heads, name=f"decoder_{i}"
@@ -958,23 +979,39 @@ class DanceDecoder(nn.Module):
                             rot_ct.astype(self.dtype) @ wk_i.astype(self.dtype),
                             norm_ct.astype(self.dtype) @ wv_i.astype(self.dtype),
                         ))
+                        wks.append(wk_i)
+                        wvs.append(wv_i)
+                    if _use_kv_batch():
+                        # carry the stacked per-layer k/v kernels so each
+                        # sampling step can project ALL layers' 2 t-token
+                        # rows in one batched einsum (_use_kv_batch)
+                        w_stack = (
+                            jnp.stack(wks).astype(self.dtype),
+                            jnp.stack(wvs).astype(self.dtype),
+                        )
+                        return ct, cond_hidden, tuple(kv), w_stack
                     return ct, cond_hidden, tuple(kv)
                 return ct, cond_hidden
         else:
-            if len(cond_cache) == 3:
+            kv_w_stack = None
+            if len(cond_cache) == 4:
+                ct, cond_hidden, kv_list, kv_w_stack = cond_cache
+            elif len(cond_cache) == 3:
                 ct, cond_hidden, kv_list = cond_cache
-                if self.remat:
-                    # a 3-tuple cache built without remat: fall back to the
-                    # full-memory path rather than dropping kv in the layers
-                    kv_list = None
             else:
                 ct, cond_hidden = cond_cache
                 kv_list = None
+            if self.remat:
+                # a hoisted-k/v cache built without remat: fall back to the
+                # full-memory path rather than dropping kv in the layers
+                kv_list = None
+                kv_w_stack = None
             ct = ct.astype(self.dtype)
             cond_hidden = cond_hidden.astype(self.dtype)
 
         if cond_cache is None:
             kv_list = None
+            kv_w_stack = None
 
         b, tokens, nfeats = x.shape
         dn = tokens // cfg.seq_len
@@ -1037,6 +1074,18 @@ class DanceDecoder(nn.Module):
             ang_full = jnp.asarray(rotary_freqs(ct.shape[1] + 2, d))
             rot_t = apply_rotary(norm_t, ang_full[ct.shape[1]:])
             memory = None
+            kt_all = vt_all = None
+            if kv_w_stack is not None:
+                # batched all-layer t-row projection (_use_kv_batch): one
+                # (L_layers) einsum pair per step instead of 2 tiny matmuls
+                # inside every decoder layer — exact same per-row math
+                wk_all, wv_all = kv_w_stack
+                kt_all = jnp.einsum(
+                    "btd,ldh->lbth", rot_t.astype(self.dtype), wk_all
+                )
+                vt_all = jnp.einsum(
+                    "btd,ldh->lbth", norm_t.astype(self.dtype), wv_all
+                )
         else:
             memory = jnp.concatenate([ct, t_tokens], axis=-2)
             memory = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-6, dtype=self.dtype, name="norm_cond")(memory)
@@ -1069,13 +1118,19 @@ class DanceDecoder(nn.Module):
             if self.remat:
                 h = layer(h, memory, t, traj_emb, shared_emb, trj_dist, deterministic)
             else:
+                if kv_list is None:
+                    kv_cache_i, kv_proj = None, False
+                elif kt_all is not None:
+                    kv_cache_i = (kv_list[i][0], kv_list[i][1], kt_all[i], vt_all[i])
+                    kv_proj = True
+                else:
+                    kv_cache_i = (kv_list[i][0], kv_list[i][1], norm_t, rot_t)
+                    kv_proj = False
                 h = layer(
                     h, memory, t, traj_emb, shared_emb, trj_dist,
                     deterministic=deterministic,
-                    kv_cache=(
-                        None if kv_list is None
-                        else (kv_list[i][0], kv_list[i][1], norm_t, rot_t)
-                    ),
+                    kv_cache=kv_cache_i,
+                    kv_projected=kv_proj,
                     tile_sa=cfg_pair and i == 0,
                 )
             if cfg_pair and i == 0:

@@ -114,43 +114,58 @@ def _rot_t(g, cos, ssin):
     return g * cos + _swap_pairs_lanes(g * ssin)
 
 
+def _head_probs(q, k, i, dk, scale, seed, rate, cd):
+    """Recompute head i's softmax probabilities (f32) and their dropped
+    compute-dtype copy. Called once in the fwd chain and again per head in
+    the backward so only ONE head's (L, L) matrices are ever live —
+    keeping all heads' probabilities (the obvious layout) needs
+    2*h*L*L*4 B of VMEM (13 MB at L=450, h=8), past the 16 MB scoped
+    limit."""
+    sl = slice(i * dk, (i + 1) * dk)
+    logits = jax.lax.dot_general(
+        q[:, sl].astype(cd) * jnp.asarray(scale, cd), k[:, sl].astype(cd),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    pd = _drop(p, seed, _SALT_ATTN + i, rate).astype(cd)
+    return p, pd
+
+
 def _fwd_body(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2, seed,
               *, nhead, dk, scale, eps1, eps2, rate):
     """Shared forward chain (f32 LN/softmax, MXU in the weights' dtype).
     Returns the pre-FiLM block output `sa_d` plus the intermediates the
-    backward needs when called from the bwd kernel."""
+    backward needs when called from the bwd kernel. Per-head probability
+    matrices are NOT kept (see _head_probs)."""
     cd = wq.dtype
     xh1, rstd1 = _ln_stats(x, eps1)
     y = xh1 * s1.astype(jnp.float32) + b1.astype(jnp.float32)
     r = _rot(y, cos.astype(jnp.float32), ssin.astype(jnp.float32))
     rc, yc = r.astype(cd), y.astype(cd)
-    q = jnp.dot(rc, wq, preferred_element_type=jnp.float32)
-    k = jnp.dot(rc, wk, preferred_element_type=jnp.float32)
-    v = jnp.dot(yc, wv, preferred_element_type=jnp.float32)
+    # q/k/v/o live in the compute dtype: every consumer casts to cd before
+    # its dot anyway (exact same numerics), and the f32 copies were ~40% of
+    # the scoped-VMEM budget at L=450
+    q = jnp.dot(rc, wq, preferred_element_type=jnp.float32).astype(cd)
+    k = jnp.dot(rc, wk, preferred_element_type=jnp.float32).astype(cd)
+    v = jnp.dot(yc, wv, preferred_element_type=jnp.float32).astype(cd)
 
-    outs, ps, pds = [], [], []
+    outs = []
     for i in range(nhead):
         sl = slice(i * dk, (i + 1) * dk)
-        qi, ki, vi = q[:, sl].astype(cd), k[:, sl].astype(cd), v[:, sl].astype(cd)
-        logits = jax.lax.dot_general(
-            qi * jnp.asarray(scale, cd), ki, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        _, pd = _head_probs(q, k, i, dk, scale, seed, rate, cd)
+        outs.append(
+            jnp.dot(pd, v[:, sl], preferred_element_type=jnp.float32).astype(cd)
         )
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        pd = _drop(p, seed, _SALT_ATTN + i, rate).astype(cd)
-        outs.append(jnp.dot(pd, vi, preferred_element_type=jnp.float32))
-        ps.append(p)
-        pds.append(pd)
-    o = jnp.concatenate(outs, axis=-1)  # (L, hd) f32
+    o = jnp.concatenate(outs, axis=-1)  # (L, hd) cd
 
-    z = jnp.dot(o.astype(cd), wfc, preferred_element_type=jnp.float32)
+    z = jnp.dot(o, wfc, preferred_element_type=jnp.float32)
     z2 = _drop(z, seed, _SALT_FC, rate)
     xh2, rstd2 = _ln_stats(z2, eps2)
     sa = xh2 * s2.astype(jnp.float32) + b2.astype(jnp.float32)
     sa_d = _drop(sa, seed, _SALT_OUT, rate)
-    return sa_d, (rc, yc, q, k, v, ps, pds, o, xh1, rstd1, xh2, rstd2)
+    return sa_d, (rc, yc, q, k, v, o, xh1, rstd1, xh2, rstd2)
 
 
 def _sa_train_fwd_kernel(
@@ -158,7 +173,7 @@ def _sa_train_fwd_kernel(
     wfc_ref, s2_ref, b2_ref, fs_ref, fb_ref, seed_ref, o_ref,
     *, nhead, dk, scale, eps1, eps2, rate,
 ):
-    seed = seed_ref[0]
+    seed = seed_ref[pl.program_id(0)]
     sa_d, _ = _fwd_body(
         x_ref[0], s1_ref[:], b1_ref[:], cos_ref[:], ssin_ref[:],
         wq_ref[:], wk_ref[:], wv_ref[:], wfc_ref[:], s2_ref[:], b2_ref[:],
@@ -179,7 +194,7 @@ def _sa_train_bwd_kernel(
     ds1_ref, db1_ref, ds2_ref, db2_ref, dfs_ref, dfb_ref,
     *, nhead, dk, scale, eps1, eps2, rate,
 ):
-    seed = seed_ref[0]
+    seed = seed_ref[pl.program_id(0)]
     cd = wq_ref.dtype
     x = x_ref[0]
     s1, b1, s2, b2 = s1_ref[:], b1_ref[:], s2_ref[:], b2_ref[:]
@@ -187,7 +202,7 @@ def _sa_train_bwd_kernel(
     ssin32 = ssin_ref[:].astype(jnp.float32)
 
     # recompute the forward entirely in VMEM (residuals = inputs only)
-    sa_d, (rc, yc, q, k, v, ps, pds, o, xh1, rstd1, xh2, rstd2) = _fwd_body(
+    sa_d, (rc, yc, q, k, v, o, xh1, rstd1, xh2, rstd2) = _fwd_body(
         x, s1, b1, cos_ref[:], ssin_ref[:],
         wq_ref[:], wk_ref[:], wv_ref[:], wfc_ref[:], s2, b2,
         seed, nhead=nhead, dk=dk, scale=scale, eps1=eps1, eps2=eps2, rate=rate,
@@ -206,26 +221,28 @@ def _sa_train_bwd_kernel(
     dz2, gs2, gb2 = _ln_bwd(dsa, xh2, rstd2, s2)
     dz = _drop(dz2, seed, _SALT_FC, rate)
 
-    # out projection: z = o @ wfc
+    # out projection: z = o @ wfc  (do stored in cd: every consumer is a
+    # cd-input dot — same rounding point as an f32 store + per-use cast)
     dzc = dz.astype(cd)
     do = jax.lax.dot_general(  # dz @ wfc^T: contract output dims
         dzc, wfc_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(cd)
     dwfc = jax.lax.dot_general(  # o^T @ dz
-        o.astype(cd), dzc, (((0,), (0,)), ((), ())),
+        o, dzc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    # per-head attention backward
+    # per-head attention backward: recompute head i's probabilities here
+    # (second recompute) so only one head's (L, L) matrices are live
     dq = []
     dk_ = []
     dv = []
     for i in range(nhead):
         sl = slice(i * dk, (i + 1) * dk)
-        qi, ki, vi = q[:, sl].astype(cd), k[:, sl].astype(cd), v[:, sl].astype(cd)
-        p, pd = ps[i], pds[i]
-        doi = do[:, sl].astype(cd)
+        qi, ki, vi = q[:, sl], k[:, sl], v[:, sl]
+        p, pd = _head_probs(q, k, i, dk, scale, seed, rate, cd)
+        doi = do[:, sl]
         dpd = jax.lax.dot_general(  # do @ v^T
             doi, vi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -241,15 +258,16 @@ def _sa_train_bwd_kernel(
         dki = jax.lax.dot_general(  # dlog^T @ q
             dlogc, qi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        dq.append(dqi)
-        dk_.append(dki)
-        dv.append(dvi)
-    dq = jnp.concatenate(dq, axis=-1)
-    dk_full = jnp.concatenate(dk_, axis=-1)
-    dv_full = jnp.concatenate(dv, axis=-1)
+        # store per-head cotangents in cd — the projection-backward dots
+        # consume cd either way, so the rounding point is unchanged
+        dq.append(dqi.astype(cd))
+        dk_.append(dki.astype(cd))
+        dv.append(dvi.astype(cd))
+    dqc = jnp.concatenate(dq, axis=-1)
+    dkc = jnp.concatenate(dk_, axis=-1)
+    dvc = jnp.concatenate(dv, axis=-1)
 
     # projections: q = r @ wq, k = r @ wk, v = y @ wv
-    dqc, dkc, dvc = dq.astype(cd), dk_full.astype(cd), dv_full.astype(cd)
     dr = jax.lax.dot_general(
         dqc, wq_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) + jax.lax.dot_general(
@@ -307,7 +325,9 @@ def _specs(b, L, d, hd):
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bx = pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     brow = pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    seed = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    # Mosaic requires rank-1 SMEM blocks to cover the whole array (or a
+    # 128-multiple): pass ALL seeds to every program, index by program_id
+    seed = pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
     in_specs = [
         bx, vec(), vec(), mat(L, d), mat(L, d),
         mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),

@@ -256,3 +256,74 @@ def test_cfg_dedup_matches_doubled_batch(monkeypatch):
     # with different accumulation schedules -> fp-reassociation tolerance
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5)
     np.testing.assert_allclose(np.asarray(out_trj), np.asarray(ref_trj), atol=5e-5, rtol=5e-5)
+
+
+def test_kv_batch_matches_per_layer(monkeypatch):
+    """TCDIFF_KV_BATCH (all-layer batched t-row k/v projection) must match
+    the per-layer projection path exactly — same math, one stacked einsum."""
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=8, latent_dim=32, ff_size=32, num_layers=2, num_heads=2,
+        dancer_num=2, head_dim=16,
+    )
+    model = DanceDecoder(cfg)
+    diff = GaussianDiffusion(model, DiffusionConfig(sampling_timesteps=2, n_timestep=10))
+    tokens = cfg.seq_len * cfg.dancer_num
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(2, tokens, cfg.nfeats)).astype(np.float32))
+    cond = jnp.asarray(
+        rng.normal(size=(2, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)).astype(np.float32)
+    )
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = model.init(jax.random.key(0), x, cond, t)["params"]
+
+    monkeypatch.setenv("TCDIFF_KV_CACHE", "1")
+    monkeypatch.setenv("TCDIFF_KV_BATCH", "0")
+    jax.clear_caches()
+    cache_off = diff.encode_cond_cfg(params, cond)
+    assert len(cache_off) == 3
+    ref = diff.guided(params, x, cond, t, 2.0, cond_cache=cache_off)
+
+    monkeypatch.setenv("TCDIFF_KV_BATCH", "1")
+    jax.clear_caches()
+    cache_on = diff.encode_cond_cfg(params, cond)
+    assert len(cache_on) == 4 and cache_on[3][0].shape[0] == cfg.num_layers
+    out = diff.guided(params, x, cond, t, 2.0, cond_cache=cache_on)
+    # the stacked einsum reassociates the (d) contraction — pure
+    # accumulation-order noise
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_kv_batch_full_sampler_matches(monkeypatch):
+    """The 4-tuple cache must flow through the jitted DDIM scan unchanged."""
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+
+    cfg = DanceDecoderConfig(
+        seq_len=8, latent_dim=32, ff_size=32, num_layers=2, num_heads=2,
+        dancer_num=2, head_dim=16,
+    )
+    model = DanceDecoder(cfg)
+    diff = GaussianDiffusion(model, DiffusionConfig(sampling_timesteps=3, n_timestep=10))
+    rng = np.random.default_rng(23)
+    cond = jnp.asarray(
+        rng.normal(size=(1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)).astype(np.float32)
+    )
+    shape = (1, cfg.seq_len * cfg.dancer_num, cfg.nfeats)
+    x0 = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    params = model.init(
+        jax.random.key(0), x0, cond, jnp.zeros((1,), jnp.int32)
+    )["params"]
+
+    monkeypatch.setenv("TCDIFF_KV_CACHE", "1")
+    monkeypatch.setenv("TCDIFF_KV_BATCH", "0")
+    jax.clear_caches()
+    ref = diff.ddim_sample(params, shape, cond, jax.random.key(3))
+    monkeypatch.setenv("TCDIFF_KV_BATCH", "1")
+    jax.clear_caches()
+    out = diff.ddim_sample(params, shape, cond, jax.random.key(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
