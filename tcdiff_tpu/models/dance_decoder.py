@@ -145,6 +145,19 @@ def _use_train_sab() -> bool:
     return os.environ.get("TCDIFF_TRAIN_SAB", "0") == "1"
 
 
+def _use_train_ffb() -> bool:
+    """TCDIFF_TRAIN_FFB=1 routes the TRAINING-path FF block + layer tail
+    (norm3 -> linear1 -> GELU -> dropout -> linear2 -> dropout -> FiLM
+    residual -> linear3(norm4)) through one Pallas program with a
+    hand-written backward (ops/fused_ff_block_train.py). Targets the
+    r3 train profile's LN-reduce bucket (30% of the step) and the (L, ff)
+    hidden-activation HBM round-trips in XLA's FF backward. Opt-in until
+    the TPU A/B lands; dropout PRNG caveat as _use_train_sab."""
+    import os
+
+    return os.environ.get("TCDIFF_TRAIN_FFB", "0") == "1"
+
+
 class _CAKV(nn.Module):
     """Parameter-only access to a layer's cross-attention k/v kernels
     (decoder_i/multihead_attn/{w_ks,w_vs}) for the hoisted-k/v cond cache."""
@@ -220,10 +233,12 @@ def _use_kv_batch() -> bool:
     step instead of 2 tiny (2, d)@(d, hd) matmuls inside every layer — the
     per-layer k/v assembly named in the round-2 profile's 63 ms XLA
     remainder. Exact same math; the stacked kernels ride in the cond cache
-    (built once per clip). Opt-in until the TPU A/B lands."""
+    (built once per clip). Default ON since the round-3 A/B: 179.7 vs
+    167.6/170.2 paired controls (+6%, BENCH_NOTES r3 campaign 2);
+    TCDIFF_KV_BATCH=0 restores the per-layer assembly."""
     import os
 
-    return os.environ.get("TCDIFF_KV_BATCH", "0") == "1"
+    return os.environ.get("TCDIFF_KV_BATCH", "1") == "1"
 
 
 def _use_ffb_tail() -> bool:
@@ -807,6 +822,32 @@ class FiLMTransformerDecoderLayer(nn.Module):
                     eps=1e-5,
                 )
                 x = x + featurewise_affine(h, (fsc3, fsh3))
+        elif (not deterministic) and _use_train_ffb():
+            # fused TRAIN FF block + tail: custom-VJP Pallas program
+            # (ops/fused_ff_block_train.py); params shared 1:1 with the
+            # unfused flax path via the stand-in modules
+            from tcdiff_tpu.ops.fused_ff_block_train import fused_ff_tail_train
+
+            s3, b3 = _LNParams(d, name="norm3")()
+            k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
+            k2f, bb2f = _DenseParams(self.ff_size, d, name="linear2")()
+            fsc3, fsh3 = DenseFiLM(d, self.dtype, name="film3")(t)
+            s4, b4 = _LNParams(d, name="norm4")()
+            k3, bb3 = _DenseParams(d, d, name="linear3")()
+            rate = float(self.dropout)
+            if rate > 0.0:
+                seeds = jax.random.bits(
+                    self.make_rng("dropout"), (x.shape[0],), jnp.uint32
+                )
+            else:
+                seeds = jnp.zeros((x.shape[0],), jnp.uint32)
+            x = fused_ff_tail_train(
+                x, s3, b3,
+                k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
+                fsc3[:, 0], fsh3[:, 0], s4, b4,
+                k3.astype(self.dtype), bb3, seeds, rate, 1e-5,
+            )
+            tail_done = True
         else:
             if fuse_lnmm:
                 from tcdiff_tpu.ops.fused_ln_matmul import fused_ln_matmul

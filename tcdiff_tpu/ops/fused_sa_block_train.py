@@ -187,137 +187,196 @@ def _sa_train_fwd_kernel(
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _sa_train_bwd_kernel(
-    x_ref, s1_ref, b1_ref, cos_ref, ssin_ref, wq_ref, wk_ref, wv_ref,
-    wfc_ref, s2_ref, b2_ref, fs_ref, fb_ref, seed_ref, g_ref,
-    dx_ref, dwq_ref, dwk_ref, dwv_ref, dwfc_ref,
-    ds1_ref, db1_ref, ds2_ref, db2_ref, dfs_ref, dfb_ref,
-    *, nhead, dk, scale, eps1, eps2, rate,
-):
-    seed = seed_ref[pl.program_id(0)]
-    cd = wq_ref.dtype
-    x = x_ref[0]
-    s1, b1, s2, b2 = s1_ref[:], b1_ref[:], s2_ref[:], b2_ref[:]
-    cos32 = cos_ref[:].astype(jnp.float32)
-    ssin32 = ssin_ref[:].astype(jnp.float32)
+# ---------------------------------------------------------------------------
+# Backward: five small kernels instead of one monolith.
+#
+# A single-program-per-batch-element backward holds too much: Mosaic
+# allocates the unrolled 8-head loop's (L, L) f32 temporaries without
+# cross-iteration stack reuse, and the kernel OOM'd the 16 MB scoped-VMEM
+# stack at 29.5-32.6 MB (L=450) across two layouts. The flash-style split
+# below bounds every program: per-head (L, L) work moves to a (b, nhead)
+# grid where exactly ONE head's matrices exist per program, and the (b,)
+# kernels contain only (L, d)-sized chains (<10 MB each). Intermediates
+# (q/k/v/o/do/dq/dk/dv) ride HBM as (b, nhead, L, dk) arrays in the compute
+# dtype — the same rounding points as the monolith, ~0.7 ms/layer of extra
+# HBM traffic at batch 64 vs the ~115 ms/step of XLA layout+softmax-bwd
+# work this replaces (r3 train profile).
+# ---------------------------------------------------------------------------
 
-    # recompute the forward entirely in VMEM (residuals = inputs only)
-    sa_d, (rc, yc, q, k, v, o, xh1, rstd1, xh2, rstd2) = _fwd_body(
-        x, s1, b1, cos_ref[:], ssin_ref[:],
-        wq_ref[:], wk_ref[:], wv_ref[:], wfc_ref[:], s2, b2,
-        seed, nhead=nhead, dk=dk, scale=scale, eps1=eps1, eps2=eps2, rate=rate,
+
+def _head_probs_sliced(qi, ki, scale, seed, salt, rate, cd):
+    """Per-head softmax probabilities from ALREADY-SLICED (L, dk) q/k —
+    identical math to _head_probs (which slices from (L, h*dk))."""
+    logits = jax.lax.dot_general(
+        qi.astype(cd) * jnp.asarray(scale, cd), ki.astype(cd),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    pd = _drop(p, seed, salt, rate).astype(cd)
+    return p, pd
 
+
+def _bwd_qkv_kernel(x_ref, s1_ref, b1_ref, cos_ref, ssin_ref,
+                    wq_ref, wk_ref, wv_ref, q_ref, k_ref, v_ref,
+                    *, nhead, dk, eps1):
+    """K1 (grid b): LN1 -> rotary -> q/k/v, written out per head."""
+    cd = wq_ref.dtype
+    xh1, _ = _ln_stats(x_ref[0], eps1)
+    y = xh1 * s1_ref[:].astype(jnp.float32) + b1_ref[:].astype(jnp.float32)
+    r = _rot(y, cos_ref[:].astype(jnp.float32), ssin_ref[:].astype(jnp.float32))
+    rc, yc = r.astype(cd), y.astype(cd)
+    q = jnp.dot(rc, wq_ref[:], preferred_element_type=jnp.float32).astype(cd)
+    k = jnp.dot(rc, wk_ref[:], preferred_element_type=jnp.float32).astype(cd)
+    v = jnp.dot(yc, wv_ref[:], preferred_element_type=jnp.float32).astype(cd)
+    for i in range(nhead):
+        sl = slice(i * dk, (i + 1) * dk)
+        q_ref[0, i] = q[:, sl]
+        k_ref[0, i] = k[:, sl]
+        v_ref[0, i] = v[:, sl]
+
+
+def _bwd_ohead_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref,
+                      *, scale, rate):
+    """K2 (grid (b, nhead)): one head's forward attention output."""
+    bi, hi = pl.program_id(0), pl.program_id(1)
+    seed = seed_ref[bi]
+    cd = q_ref.dtype
+    _, pd = _head_probs_sliced(
+        q_ref[0, 0], k_ref[0, 0], scale, seed, _SALT_ATTN + hi, rate, cd
+    )
+    o_ref[0, 0] = jnp.dot(
+        pd, v_ref[0, 0], preferred_element_type=jnp.float32
+    ).astype(cd)
+
+
+def _bwd_chain_top_kernel(o_ref, wfc_ref, s2_ref, b2_ref, fs_ref, seed_ref,
+                          g_ref, do_ref, dwfc_ref, ds2_ref, db2_ref,
+                          dfs_ref, dfb_ref, *, nhead, dk, eps2, rate):
+    """K3 (grid b): forward chain top (out-proj -> dropout -> LN2 ->
+    dropout -> FiLM) recomputed, then its backward down to do."""
+    prog = pl.program_id(0)
+    seed = seed_ref[prog]
+    cd = wfc_ref.dtype
+
+    def acc(ref, val):
+        @pl.when(prog == 0)
+        def _init():
+            ref[...] = val
+
+        @pl.when(prog != 0)
+        def _add():
+            ref[...] += val
+
+    o = jnp.concatenate([o_ref[0, i] for i in range(nhead)], axis=-1)
+    z2 = _drop(
+        jnp.dot(o, wfc_ref[:], preferred_element_type=jnp.float32),
+        seed, _SALT_FC, rate,
+    )
+    xh2, rstd2 = _ln_stats(z2, eps2)
+    sa_d = _drop(
+        xh2 * s2_ref[:].astype(jnp.float32) + b2_ref[:].astype(jnp.float32),
+        seed, _SALT_OUT, rate,
+    )
     g = g_ref[0].astype(jnp.float32)
     fs = fs_ref[0].astype(jnp.float32)
-
-    # FiLM: out = x + (fs+1)*sa_d + fb
-    dsa_d = g * (fs + 1.0)
-    dfs_row = jnp.sum(g * sa_d, axis=0, keepdims=True)  # (1, d)
-    dfb_row = jnp.sum(g, axis=0, keepdims=True)
-
-    # dropout3 -> LN2 -> dropout2
-    dsa = _drop(dsa_d, seed, _SALT_OUT, rate)
-    dz2, gs2, gb2 = _ln_bwd(dsa, xh2, rstd2, s2)
+    dfs_ref[0] = jnp.sum(g * sa_d, axis=0, keepdims=True).astype(dfs_ref.dtype)
+    dfb_ref[0] = jnp.sum(g, axis=0, keepdims=True).astype(dfb_ref.dtype)
+    dsa = _drop(g * (fs + 1.0), seed, _SALT_OUT, rate)
+    dz2, gs2, gb2 = _ln_bwd(dsa, xh2, rstd2, s2_ref[:])
+    acc(ds2_ref, jnp.sum(gs2, axis=0))
+    acc(db2_ref, jnp.sum(gb2, axis=0))
     dz = _drop(dz2, seed, _SALT_FC, rate)
-
-    # out projection: z = o @ wfc  (do stored in cd: every consumer is a
-    # cd-input dot — same rounding point as an f32 store + per-use cast)
+    # do stored in cd: every consumer is a cd-input dot — same rounding
+    # point as an f32 store + per-use cast
     dzc = dz.astype(cd)
-    do = jax.lax.dot_general(  # dz @ wfc^T: contract output dims
+    do = jax.lax.dot_general(  # dz @ wfc^T
         dzc, wfc_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(cd)
-    dwfc = jax.lax.dot_general(  # o^T @ dz
-        o, dzc, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    # per-head attention backward: recompute head i's probabilities here
-    # (second recompute) so only one head's (L, L) matrices are live
-    dq = []
-    dk_ = []
-    dv = []
+    acc(dwfc_ref, jax.lax.dot_general(  # o^T @ dz
+        o, dzc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ))
     for i in range(nhead):
-        sl = slice(i * dk, (i + 1) * dk)
-        qi, ki, vi = q[:, sl], k[:, sl], v[:, sl]
-        p, pd = _head_probs(q, k, i, dk, scale, seed, rate, cd)
-        doi = do[:, sl]
-        dpd = jax.lax.dot_general(  # do @ v^T
-            doi, vi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dvi = jax.lax.dot_general(  # pd^T @ do
-            pd, doi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = _drop(dpd, seed, _SALT_ATTN + i, rate)
-        dlog = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dlogc = dlog.astype(cd)
-        dqi = jax.lax.dot_general(  # dlog @ k
-            dlogc, ki, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        dki = jax.lax.dot_general(  # dlog^T @ q
-            dlogc, qi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        # store per-head cotangents in cd — the projection-backward dots
-        # consume cd either way, so the rounding point is unchanged
-        dq.append(dqi.astype(cd))
-        dk_.append(dki.astype(cd))
-        dv.append(dvi.astype(cd))
-    dqc = jnp.concatenate(dq, axis=-1)
-    dkc = jnp.concatenate(dk_, axis=-1)
-    dvc = jnp.concatenate(dv, axis=-1)
+        do_ref[0, i] = do[:, i * dk:(i + 1) * dk]
 
-    # projections: q = r @ wq, k = r @ wk, v = y @ wv
+
+def _bwd_attn_head_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref,
+                          dq_ref, dk_ref, dv_ref, *, scale, rate):
+    """K4 (grid (b, nhead)): one head's attention backward — probabilities
+    recomputed (flash recipe), only this head's (L, L) matrices live."""
+    bi, hi = pl.program_id(0), pl.program_id(1)
+    seed = seed_ref[bi]
+    cd = q_ref.dtype
+    qi, ki, vi, doi = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+    p, pd = _head_probs_sliced(
+        qi, ki, scale, seed, _SALT_ATTN + hi, rate, cd
+    )
+    dpd = jax.lax.dot_general(  # do @ v^T
+        doi, vi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dv_ref[0, 0] = jax.lax.dot_general(  # pd^T @ do
+        pd, doi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(cd)
+    dp = _drop(dpd, seed, _SALT_ATTN + hi, rate)
+    dlogc = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(cd)
+    dq_ref[0, 0] = (jax.lax.dot_general(  # dlog @ k
+        dlogc, ki, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale).astype(cd)
+    dk_ref[0, 0] = (jax.lax.dot_general(  # dlog^T @ q
+        dlogc, qi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale).astype(cd)
+
+
+def _bwd_proj_ln_kernel(x_ref, s1_ref, b1_ref, cos_ref, ssin_ref,
+                        wq_ref, wk_ref, wv_ref, dqh_ref, dkh_ref, dvh_ref,
+                        g_ref, dx_ref, dwq_ref, dwk_ref, dwv_ref,
+                        ds1_ref, db1_ref, *, nhead, eps1):
+    """K5 (grid b): projection weight/activation grads (wide matmuls),
+    rotary transpose, LN1 backward, final dx."""
+    prog = pl.program_id(0)
+    cd = wq_ref.dtype
+    x = x_ref[0]
+    s1 = s1_ref[:]
+    cos32 = cos_ref[:].astype(jnp.float32)
+    ssin32 = ssin_ref[:].astype(jnp.float32)
+
+    def acc(ref, val):
+        @pl.when(prog == 0)
+        def _init():
+            ref[...] = val
+
+        @pl.when(prog != 0)
+        def _add():
+            ref[...] += val
+
+    xh1, rstd1 = _ln_stats(x, eps1)
+    y = xh1 * s1.astype(jnp.float32) + b1_ref[:].astype(jnp.float32)
+    rc = _rot(y, cos32, ssin32).astype(cd)
+    yc = y.astype(cd)
+    dqc = jnp.concatenate([dqh_ref[0, i] for i in range(nhead)], axis=-1)
+    dkc = jnp.concatenate([dkh_ref[0, i] for i in range(nhead)], axis=-1)
+    dvc = jnp.concatenate([dvh_ref[0, i] for i in range(nhead)], axis=-1)
+    acc(dwq_ref, jax.lax.dot_general(
+        rc, dqc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+    acc(dwk_ref, jax.lax.dot_general(
+        rc, dkc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+    acc(dwv_ref, jax.lax.dot_general(
+        yc, dvc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
     dr = jax.lax.dot_general(
         dqc, wq_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) + jax.lax.dot_general(
         dkc, wk_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dy_v = jax.lax.dot_general(
+    dy = _rot_t(dr, cos32, ssin32) + jax.lax.dot_general(
         dvc, wv_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dwq = jax.lax.dot_general(
-        rc, dqc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dwk = jax.lax.dot_general(
-        rc, dkc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dwv = jax.lax.dot_general(
-        yc, dvc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-
-    # rotary transpose + LN1 backward
-    dy = _rot_t(dr, cos32, ssin32) + dy_v
     dxl, gs1, gb1 = _ln_bwd(dy, xh1, rstd1, s1)
-    dx = g + dxl  # FiLM's direct residual path
-
-    dx_ref[0] = dx.astype(dx_ref.dtype)
-    dfs_ref[0] = dfs_row.astype(dfs_ref.dtype)
-    dfb_ref[0] = dfb_row.astype(dfb_ref.dtype)
-
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        dwq_ref[...] = dwq
-        dwk_ref[...] = dwk
-        dwv_ref[...] = dwv
-        dwfc_ref[...] = dwfc
-        ds1_ref[...] = jnp.sum(gs1, axis=0)
-        db1_ref[...] = jnp.sum(gb1, axis=0)
-        ds2_ref[...] = jnp.sum(gs2, axis=0)
-        db2_ref[...] = jnp.sum(gb2, axis=0)
-
-    @pl.when(i != 0)
-    def _acc():
-        dwq_ref[...] += dwq
-        dwk_ref[...] += dwk
-        dwv_ref[...] += dwv
-        dwfc_ref[...] += dwfc
-        ds1_ref[...] += jnp.sum(gs1, axis=0)
-        db1_ref[...] += jnp.sum(gb1, axis=0)
-        ds2_ref[...] += jnp.sum(gs2, axis=0)
-        db2_ref[...] += jnp.sum(gb2, axis=0)
+    acc(ds1_ref, jnp.sum(gs1, axis=0))
+    acc(db1_ref, jnp.sum(gb1, axis=0))
+    g = g_ref[0].astype(jnp.float32)
+    dx_ref[0] = (g + dxl).astype(dx_ref.dtype)  # FiLM's direct residual path
 
 
 def _specs(b, L, d, hd):
@@ -392,49 +451,97 @@ def _bwd(nhead, rate, eps1, eps2, res, g):
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
-    in_specs, bx, brow, vec, mat = _specs(b, L, d, hd)
-    in_specs = in_specs + [bx]  # cotangent
-    out_specs = (
-        bx,  # dx
-        mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),  # dwq/dwk/dwv/dwfc
-        vec(), vec(), vec(), vec(),  # ds1, db1, ds2, db2
-        brow, brow,  # dfs, dfb
-    )
+    cd = wq.dtype
     f32 = jnp.float32
-    out_shape = (
-        jax.ShapeDtypeStruct((b, L, d), x.dtype),
-        jax.ShapeDtypeStruct((d, hd), f32),
-        jax.ShapeDtypeStruct((d, hd), f32),
-        jax.ShapeDtypeStruct((d, hd), f32),
-        jax.ShapeDtypeStruct((hd, d), f32),
-        jax.ShapeDtypeStruct((d,), f32),
-        jax.ShapeDtypeStruct((d,), f32),
-        jax.ShapeDtypeStruct((d,), f32),
-        jax.ShapeDtypeStruct((d,), f32),
-        jax.ShapeDtypeStruct((b, 1, d), f32),
-        jax.ShapeDtypeStruct((b, 1, d), f32),
-    )
-    args = (
-        x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-        film_scale[:, None, :], film_shift[:, None, :], seeds, g,
-    )
-    (dx, dwq, dwk, dwv, dwfc, ds1, db1, ds2, db2, dfs, dfb) = pl.pallas_call(
-        functools.partial(
-            _sa_train_bwd_kernel, nhead=nhead, dk=dk, scale=scale,
-            eps1=eps1, eps2=eps2, rate=rate,
-        ),
+    interp = _interpret()
+
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bx = pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    brow = pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    seed_b = pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+    # (b, nhead, L, dk) head arrays: all heads for a (b,)-grid program,
+    # one head for a (b, nhead)-grid program
+    heads_all = pl.BlockSpec((1, nhead, L, dk), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    head_one = pl.BlockSpec((1, 1, L, dk), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    seed_bh = pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM)
+    hshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
+
+    # K1: LN1 -> rotary -> q/k/v per head
+    q, k, v = pl.pallas_call(
+        functools.partial(_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
         grid=(b,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=_interpret(),
-    )(*args)
-    zeros_rot = jnp.zeros_like(cos), jnp.zeros_like(ssin)
+        in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
+                  mat(d, hd), mat(d, hd), mat(d, hd)],
+        out_specs=(heads_all, heads_all, heads_all),
+        out_shape=(hshape, hshape, hshape),
+        interpret=interp,
+    )(x, s1, b1, cos, ssin, wq, wk, wv)
+
+    # K2: per-head forward attention outputs
+    o = pl.pallas_call(
+        functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
+        grid=(b, nhead),
+        in_specs=[head_one, head_one, head_one, seed_bh],
+        out_specs=head_one,
+        out_shape=hshape,
+        interpret=interp,
+    )(q, k, v, seeds)
+
+    # K3: chain-top forward recompute + backward down to do
+    do, dwfc, ds2, db2, dfs, dfb = pl.pallas_call(
+        functools.partial(_bwd_chain_top_kernel, nhead=nhead, dk=dk,
+                          eps2=eps2, rate=rate),
+        grid=(b,),
+        in_specs=[heads_all, mat(hd, d), vec(d), vec(d), brow, seed_b, bx],
+        out_specs=(heads_all, mat(hd, d), vec(d), vec(d), brow, brow),
+        out_shape=(
+            hshape,
+            jax.ShapeDtypeStruct((hd, d), f32),
+            jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((b, 1, d), f32),
+            jax.ShapeDtypeStruct((b, 1, d), f32),
+        ),
+        interpret=interp,
+    )(o, wfc, s2, b2, film_scale[:, None, :], seeds, g)
+
+    # K4: per-head attention backward
+    dqh, dkh, dvh = pl.pallas_call(
+        functools.partial(_bwd_attn_head_kernel, scale=scale, rate=rate),
+        grid=(b, nhead),
+        in_specs=[head_one, head_one, head_one, head_one, seed_bh],
+        out_specs=(head_one, head_one, head_one),
+        out_shape=(hshape, hshape, hshape),
+        interpret=interp,
+    )(q, k, v, do, seeds)
+
+    # K5: projection grads, rotary transpose, LN1 backward, dx
+    dx, dwq, dwk, dwv, ds1, db1 = pl.pallas_call(
+        functools.partial(_bwd_proj_ln_kernel, nhead=nhead, eps1=eps1),
+        grid=(b,),
+        in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
+                  mat(d, hd), mat(d, hd), mat(d, hd),
+                  heads_all, heads_all, heads_all, bx],
+        out_specs=(bx, mat(d, hd), mat(d, hd), mat(d, hd), vec(d), vec(d)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, L, d), x.dtype),
+            jax.ShapeDtypeStruct((d, hd), f32),
+            jax.ShapeDtypeStruct((d, hd), f32),
+            jax.ShapeDtypeStruct((d, hd), f32),
+            jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((d,), f32),
+        ),
+        interpret=interp,
+    )(x, s1, b1, cos, ssin, wq, wk, wv, dqh, dkh, dvh, g)
+
     dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
     return (
         dx,
         ds1.astype(s1.dtype), db1.astype(b1.dtype),
-        zeros_rot[0], zeros_rot[1],
+        jnp.zeros_like(cos), jnp.zeros_like(ssin),
         dwq.astype(wq.dtype), dwk.astype(wk.dtype), dwv.astype(wv.dtype),
         dwfc.astype(wfc.dtype),
         ds2.astype(s2.dtype), db2.astype(b2.dtype),

@@ -72,7 +72,12 @@ def test_sbimsa_deterministic_uses_same_math_as_training_path():
 
 
 def test_cond_cache_matches_direct_forward():
-    """Hoisted cond encoding must be bit-identical to the inline path."""
+    """Hoisted cond encoding must match the inline path. Tolerance note:
+    with TCDIFF_KV_BATCH (default ON) the cache's t-row k/v come from one
+    stacked all-layer einsum whose XLA tiling orders f32 accumulation
+    differently than the per-layer matmuls — same algebra, last-ulp float
+    drift (measured max 2e-6); the bit-exact 3-tuple layout is covered by
+    test_kv_cache_hoist_matches_uncached."""
     from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
     from tcdiff_tpu.diffusion import GaussianDiffusion
     from tcdiff_tpu.models import DanceDecoder
@@ -93,7 +98,7 @@ def test_cond_cache_matches_direct_forward():
     direct = diff.guided(params, x, cond, t, 2.0)
     cache = diff.encode_cond_cfg(params, cond)
     cached = diff.guided(params, x, cond, t, 2.0, cond_cache=cache)
-    np.testing.assert_allclose(np.asarray(direct), np.asarray(cached), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(cached), atol=1e-5)
 
 
 def test_fused_attention_batched_matches_einsum():
@@ -157,6 +162,9 @@ def test_kv_cache_hoist_matches_uncached(monkeypatch):
     t = jnp.asarray([3, 7], jnp.int32)
     params = model.init(jax.random.key(0), x, cond, t)["params"]
 
+    # this test pins the 3-tuple cache structure; the batched-kv layout
+    # (TCDIFF_KV_BATCH, default ON) has its own tests below
+    monkeypatch.setenv("TCDIFF_KV_BATCH", "0")
     monkeypatch.setenv("TCDIFF_KV_CACHE", "0")
     jax.clear_caches()
     cache_off = diff.encode_cond_cfg(params, cond)
@@ -197,6 +205,7 @@ def test_kv_cache_hoist_remat_safe(monkeypatch):
     model_r = DanceDecoder(cfg, remat=True)
     diff_r = GaussianDiffusion(model_r, DiffusionConfig(sampling_timesteps=2, n_timestep=10))
 
+    monkeypatch.setenv("TCDIFF_KV_BATCH", "0")  # pin the 3-tuple structure
     monkeypatch.setenv("TCDIFF_KV_CACHE", "0")
     jax.clear_caches()
     ref = diff_r.guided(params, x, cond, t, 2.0, cond_cache=diff_r.encode_cond_cfg(params, cond))

@@ -102,7 +102,13 @@ def eval_metrics(diff, model, params, normalizer, eval_x, eval_cond, key,
     return {k: float(v) for k, v in rep.items() if k in keep}
 
 
-def train_denoiser(log):
+def train_denoiser(log, seeds=None):
+    """Train + eval for each seed in `seeds` (default [SEED]) INSIDE one
+    process: all seeds share the identical-shape jitted train step and
+    sampler executables, so a 3-seed sweep pays the axon cold compiles
+    (train ~5-10 min, sampler ~10-15 min) exactly once (VERDICT r2 item 6:
+    forecast quality across seeds)."""
+    seeds = [SEED] if seeds is None else seeds
     if TINY:
         cfg = DanceDecoderConfig(
             seq_len=16, latent_dim=32, ff_size=32, num_layers=1, num_heads=2,
@@ -115,69 +121,79 @@ def train_denoiser(log):
     model = DanceDecoder(cfg, dtype=jnp.bfloat16)
     diff = GaussianDiffusion(model, dcfg)
     tokens = cfg.seq_len * DANCERS
-    poses, music, normalizer = synthetic_dataset(N_DATA, DANCERS, cfg.seq_len, seed=SEED)
-    eval_poses, eval_music, _ = synthetic_dataset(
-        EVAL_SAMPLES, DANCERS, cfg.seq_len, seed=99 + SEED
-    )
-
     mesh = make_mesh()
-    params = model.init(
-        jax.random.key(SEED),
-        jnp.zeros((1, tokens, cfg.nfeats)),
-        jnp.zeros((1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)),
-        jnp.zeros((1,), jnp.int32),
-    )["params"]
     tx = adan(5e-5, weight_decay=0.02)
-    state = jax.device_put(create_train_state(params, tx), replicated(mesh))
     step = jax.jit(make_train_step(diff, tx), donate_argnums=0)
-    key = jax.device_put(jax.random.key(SEED + 1), replicated(mesh))
+    fks = [
+        int(v)
+        for v in os.environ.get("DYN_FORECAST_EVAL", "").split(",")
+        if v.strip()
+    ]
 
-    pre_eval = eval_metrics(
-        diff, model, state.params, normalizer, jnp.asarray(eval_poses),
-        eval_music, jax.random.key(SEED + 7),
-    )
-    log({"event": "denoiser_eval", "step": 0, **pre_eval})
-
-    rng = np.random.default_rng(SEED)
-    first = last = None
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        idx = rng.integers(0, N_DATA, size=BATCH)
-        xs, cs = shard_batch(
-            (jnp.asarray(poses[idx]), jnp.asarray(music[idx])), mesh
+    out = {}
+    for seed in seeds:
+        poses, music, normalizer = synthetic_dataset(
+            N_DATA, DANCERS, cfg.seq_len, seed=seed
         )
-        state, m = step(state, xs, cs, key)
-        if i % 10 == 0 or i == STEPS - 1:
-            vals = {k: float(v) for k, v in m.items()}
-            log({"event": "denoiser", "step": i, **vals})
-            if first is None:
-                first = vals
-            last = vals
-    train_s = time.perf_counter() - t0
+        eval_poses, eval_music, _ = synthetic_dataset(
+            EVAL_SAMPLES, DANCERS, cfg.seq_len, seed=99 + seed
+        )
+        params = model.init(
+            jax.random.key(seed),
+            jnp.zeros((1, tokens, cfg.nfeats)),
+            jnp.zeros((1, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+        state = jax.device_put(create_train_state(params, tx), replicated(mesh))
+        key = jax.device_put(jax.random.key(seed + 1), replicated(mesh))
 
-    post_eval = eval_metrics(
-        diff, model, state.params, normalizer, jnp.asarray(eval_poses),
-        eval_music, jax.random.key(SEED + 7),
-    )
-    log({"event": "denoiser_eval", "step": STEPS, **post_eval})
-    out = {
-        "denoiser_first": first,
-        "denoiser_last": last,
-        "denoiser_eval_pre": pre_eval,
-        "denoiser_eval_post": post_eval,
-        "denoiser_steps": STEPS,
-        "denoiser_train_seconds": round(train_s, 1),
-    }
-    # DYN_FORECAST_EVAL=k1,k2,...: quality of the opt-in LMS feature
-    # forecast on the SAME trained weights vs the exact sampler above
-    fks = os.environ.get("DYN_FORECAST_EVAL", "")
-    for k in [int(v) for v in fks.split(",") if v.strip()]:
-        fe = eval_metrics(
+        pre_eval = eval_metrics(
             diff, model, state.params, normalizer, jnp.asarray(eval_poses),
-            eval_music, jax.random.key(SEED + 7), forecast=k,
+            eval_music, jax.random.key(seed + 7),
         )
-        log({"event": "denoiser_eval_forecast", "k": k, **fe})
-        out[f"denoiser_eval_forecast{k}"] = fe
+        log({"event": "denoiser_eval", "seed": seed, "step": 0, **pre_eval})
+
+        rng = np.random.default_rng(seed)
+        first = last = None
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            idx = rng.integers(0, N_DATA, size=BATCH)
+            xs, cs = shard_batch(
+                (jnp.asarray(poses[idx]), jnp.asarray(music[idx])), mesh
+            )
+            state, m = step(state, xs, cs, key)
+            if i % 10 == 0 or i == STEPS - 1:
+                vals = {k: float(v) for k, v in m.items()}
+                log({"event": "denoiser", "seed": seed, "step": i, **vals})
+                if first is None:
+                    first = vals
+                last = vals
+        train_s = time.perf_counter() - t0
+
+        post_eval = eval_metrics(
+            diff, model, state.params, normalizer, jnp.asarray(eval_poses),
+            eval_music, jax.random.key(seed + 7),
+        )
+        log({"event": "denoiser_eval", "seed": seed, "step": STEPS, **post_eval})
+        res = {
+            "denoiser_first": first,
+            "denoiser_last": last,
+            "denoiser_eval_pre": pre_eval,
+            "denoiser_eval_post": post_eval,
+            "denoiser_steps": STEPS,
+            "denoiser_train_seconds": round(train_s, 1),
+        }
+        # DYN_FORECAST_EVAL=k1,k2,...: quality of the opt-in LMS feature
+        # forecast on the SAME trained weights vs the exact sampler above
+        for k in fks:
+            fe = eval_metrics(
+                diff, model, state.params, normalizer, jnp.asarray(eval_poses),
+                eval_music, jax.random.key(seed + 7), forecast=k,
+            )
+            log({"event": "denoiser_eval_forecast", "seed": seed, "k": k, **fe})
+            res[f"denoiser_eval_forecast{k}"] = fe
+        out.update(res if seed == seeds[0] else {})
+        out[f"seed{seed}"] = res
     return out
 
 
@@ -223,11 +239,17 @@ def main():
 
     summary = {}
     if os.environ.get("DYN_SKIP_DENOISER", "0") != "1":
-        summary.update(train_denoiser(log))
-    try:
-        summary.update(train_dbn(log))
-    except Exception as e:  # DBN trainer API may differ; denoiser is the core
-        summary["dbn_error"] = repr(e)
+        seeds = [
+            int(v)
+            for v in os.environ.get("DYN_SEEDS", str(SEED)).split(",")
+            if v.strip()
+        ]
+        summary.update(train_denoiser(log, seeds))
+    if os.environ.get("DYN_SKIP_DBN", "0") != "1":
+        try:
+            summary.update(train_dbn(log))
+        except Exception as e:  # DBN trainer API may differ; denoiser is core
+            summary["dbn_error"] = repr(e)
     out.close()
     print(json.dumps(summary))
 
