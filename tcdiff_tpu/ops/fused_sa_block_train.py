@@ -20,12 +20,16 @@ Forward (per batch element, grid over b):
 the attention weights and after fc — `model/model.py:66,100-104` — plus the
 layer's post-block dropout before FiLM, `model/model.py:322-327`).
 
-Backward: one program per batch element recomputes the forward in VMEM
-(flash-attention-2 recipe — residuals are just the kernel INPUTS, which
-also makes the op compose with jax.checkpoint for free) and emits
-dx / dwq / dwk / dwv / dwfc / dLN affine / dfilm. Weight gradients are
-accumulated across the sequential TPU grid by revisiting the same output
-block (init at i==0, add after).
+Backward: a flash-style FIVE-kernel split (see the comment block above
+`_bwd_qkv_kernel`) — residuals are just the kernel INPUTS (recompute
+recipe, composes with jax.checkpoint for free), per-head (L, L) work runs
+on a (b, nhead) grid so exactly one head's probability matrices exist per
+program, and weight gradients are accumulated across the sequential TPU
+grid by revisiting the same output block (init at program 0, add after).
+A single-program backward does NOT fit the 16 MB scoped-VMEM stack at
+L=450 — Mosaic allocates the unrolled head loop's f32 temporaries without
+cross-iteration reuse (measured 32.6 MB, then 29.5 MB after liveness
+surgery; BENCH_NOTES r3).
 
 Dropout masks are regenerated bit-identically in the backward from the same
 per-batch-element uint32 seed via a murmur-style integer hash over
