@@ -145,6 +145,18 @@ def _use_train_sab() -> bool:
     return os.environ.get("TCDIFF_TRAIN_SAB", "0") == "1"
 
 
+def _use_train_xab() -> bool:
+    """TCDIFF_TRAIN_XAB=1 routes the TRAINING-path cross-attention block
+    (norm2 -> rotary -> q; rotary(memory) -> k; memory -> v -> attention ->
+    dropout -> fc -> dropout -> post-LN -> dropout -> FiLM residual)
+    through the fused custom-VJP program (ops/fused_ca_block_train.py),
+    including the memory cotangent for the cond encoder. Opt-in until the
+    TPU A/B lands; dropout PRNG caveat as _use_train_sab."""
+    import os
+
+    return os.environ.get("TCDIFF_TRAIN_XAB", "0") == "1"
+
+
 def _use_train_ffb() -> bool:
     """TCDIFF_TRAIN_FFB=1 routes the TRAINING-path FF block + layer tail
     (norm3 -> linear1 -> GELU -> dropout -> linear2 -> dropout -> FiLM
@@ -770,6 +782,34 @@ class FiLMTransformerDecoderLayer(nn.Module):
             else:
                 ca = fused_ca_block(*xab_args, nhead=self.n_head)
                 x = x + featurewise_affine(ca, (fsc2, fsh2))
+        elif (not deterministic) and _use_train_xab() and memory is not None:
+            # fused TRAIN cross-attention block: custom-VJP Pallas program
+            # (ops/fused_ca_block_train.py); params shared 1:1 with the
+            # unfused flax path via the stand-in modules
+            from tcdiff_tpu.ops.fused_ca_block_train import fused_ca_block_train
+            from tcdiff_tpu.ops.fused_sa_block_train import sa_train_tables
+
+            s2ln, b2ln = _LNParams(d, name="norm2")()
+            cwq, cwk, cwv, cfc, cs2, cb2 = _SAParams(
+                d, self.n_head * self.head_dim, name="multihead_attn"
+            )()
+            fsc2, fsh2 = DenseFiLM(d, self.dtype, name="film2")(t)
+            cosx, ssinx = sa_train_tables(x, angles_x, d)
+            cosm, ssinm = sa_train_tables(memory, angles_m, d)
+            rate = float(self.dropout)
+            if rate > 0.0:
+                seeds = jax.random.bits(
+                    self.make_rng("dropout"), (x.shape[0],), jnp.uint32
+                )
+            else:
+                seeds = jnp.zeros((x.shape[0],), jnp.uint32)
+            x = fused_ca_block_train(
+                x, memory, s2ln, b2ln, cosx, ssinx, cosm, ssinm,
+                cwq.astype(self.dtype), cwk.astype(self.dtype),
+                cwv.astype(self.dtype), cfc.astype(self.dtype), cs2, cb2,
+                fsc2[:, 0], fsh2[:, 0], seeds,
+                self.n_head, rate, 1e-5, 1e-6,
+            )
         else:
             if fuse_lnrot:
                 s2, b2 = _LNParams(d, name="norm2")()
