@@ -350,7 +350,39 @@ def bench_stream_e2e():
     )
 
 
+def _backend_watchdog():
+    """Fail FAST with a parseable JSON error if the TPU backend is down.
+
+    The axon backend has outage windows where client init hangs
+    indefinitely or raises UNAVAILABLE (observed 2026-08-17, 4+ hours);
+    without this a driver-run bench would hang until its own timeout with
+    no diagnostic. Probes jax.devices() on a daemon thread and hard-exits
+    with an error line if it doesn't answer within BENCH_INIT_TIMEOUT
+    seconds (default 900 — cold axon init is minutes, never 15)."""
+    import threading
+
+    limit = float(os.environ.get("BENCH_INIT_TIMEOUT", "900"))
+    done = threading.Event()
+
+    def probe():
+        try:
+            jax.devices()
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(limit):
+        print(json.dumps({
+            "metric": "bench_error", "value": None, "unit": "",
+            "vs_baseline": None,
+            "error": f"TPU backend init did not answer within {limit:.0f}s "
+                     "(axon outage — see BENCH_NOTES r3)",
+        }))
+        os._exit(2)
+
+
 def main():
+    _backend_watchdog()
     mode = os.environ.get("BENCH_MODE", "sample")
     if mode == "train":
         bench_train()
