@@ -351,34 +351,56 @@ def bench_stream_e2e():
 
 
 def _backend_watchdog():
-    """Fail FAST with a parseable JSON error if the TPU backend is down.
+    """Retry backend init with backoff; fail with a parseable JSON error.
 
     The axon backend has outage windows where client init hangs
-    indefinitely or raises UNAVAILABLE (observed 2026-08-17, 4+ hours);
+    indefinitely or raises UNAVAILABLE (observed 2026-08-17/18, 12+ hours);
     without this a driver-run bench would hang until its own timeout with
-    no diagnostic. Probes jax.devices() on a daemon thread and hard-exits
-    with an error line if it doesn't answer within BENCH_INIT_TIMEOUT
-    seconds (default 900 — cold axon init is minutes, never 15)."""
+    no diagnostic. Probes jax.devices() on a daemon thread with a
+    BENCH_INIT_TIMEOUT per-attempt limit (default 600 — cold axon init is
+    minutes, never 10). On a hang/error, a hung client init cannot be
+    retried in-process (the init lock is held by the stuck thread), so the
+    retry re-execs this process after BENCH_INIT_BACKOFF seconds — one
+    transient init failure no longer forfeits the round's number (VERDICT
+    r3 #3). Total worst case with defaults: 3 x 600 s + 2 x 120 s ≈ 34 min,
+    inside the driver's bench budget."""
+    import sys
     import threading
 
-    limit = float(os.environ.get("BENCH_INIT_TIMEOUT", "900"))
+    limit = float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
+    attempts_left = int(os.environ.get("BENCH_INIT_RETRIES", "2"))
+    backoff = float(os.environ.get("BENCH_INIT_BACKOFF", "120"))
     done = threading.Event()
+    ok = []
 
     def probe():
         try:
             jax.devices()
+            ok.append(True)
+        except Exception as e:  # UNAVAILABLE during outage windows
+            print(f"bench: backend init error: {e!r}", file=sys.stderr)
         finally:
             done.set()
 
     threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(limit):
-        print(json.dumps({
-            "metric": "bench_error", "value": None, "unit": "",
-            "vs_baseline": None,
-            "error": f"TPU backend init did not answer within {limit:.0f}s "
-                     "(axon outage — see BENCH_NOTES r3)",
-        }))
-        os._exit(2)
+    if done.wait(limit) and ok:
+        return
+    if attempts_left > 0:
+        print(
+            f"bench: backend init failed/hung (limit {limit:.0f}s); "
+            f"retrying after {backoff:.0f}s ({attempts_left} attempts left)",
+            file=sys.stderr,
+        )
+        time.sleep(backoff)
+        env = dict(os.environ, BENCH_INIT_RETRIES=str(attempts_left - 1))
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    print(json.dumps({
+        "metric": "bench_error", "value": None, "unit": "",
+        "vs_baseline": None,
+        "error": f"TPU backend init did not answer within {limit:.0f}s "
+                 "after retries (axon outage — see BENCH_NOTES r3/r4)",
+    }))
+    os._exit(2)
 
 
 def main():

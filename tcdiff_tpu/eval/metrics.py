@@ -43,10 +43,13 @@ def kinetic_features(joints: jnp.ndarray) -> jnp.ndarray:
 
 def geometric_features(joints: jnp.ndarray) -> jnp.ndarray:
     """(T, 24, 3) -> (32,) boolean relational features (firing fractions) —
-    the standard AIST++/Bailando FID_g feature map (eval/geometric.py,
-    Müller-2005 relational features on the SMPL skeleton). Replaces the
-    round-2 height-statistics stand-in so FID_g is comparable to
-    published tables."""
+    the same feature FAMILY as AIST++/Bailando FID_g (eval/geometric.py,
+    Müller-2005 relational features on the SMPL skeleton), replacing the
+    round-2 height-statistics stand-in. Caveat (ADVICE r3): thresholds are
+    re-derived from this repo's rest pose, not transcribed from
+    google/aistplusplus_api, so ABSOLUTE FID_g values are not guaranteed to
+    match published tables — relative comparisons under a fixed feature map
+    are the supported use."""
     from tcdiff_tpu.eval.geometric import boolean_geometric_features
 
     return boolean_geometric_features(joints)

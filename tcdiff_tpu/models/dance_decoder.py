@@ -32,6 +32,8 @@ Params live in float32; activations can run in bfloat16 via `dtype`.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,6 +127,30 @@ def _use_pallas_sab() -> bool:
     measured 138.5/133.1 vs 132.4 control, and +19% combined with FFB
     (BENCH_NOTES.md round-2 block-fusion sweep)."""
     return _flag_default_on_tpu("TCDIFF_PALLAS_SAB")
+
+
+def _use_layer_fuse() -> bool:
+    """TCDIFF_LAYER_FUSE=1 computes an ENTIRE decoder layer (SA block +
+    cached-k/v cross-attention + FF block + tail, FiLM fused) as ONE
+    Pallas program per batch element (ops/fused_layer.py) — the
+    whole-layer structural lever against the measured per-layer XLA
+    cross-attention remainder (BENCH_NOTES "Final-default profile";
+    ROADMAP round-3 follow-ups). Serving path only, requires the kv
+    cache and no TRPE; the layer-0 CFG-dedup site keeps the per-block
+    kernels. Opt-in until the TPU A/B lands."""
+    import os
+
+    return os.environ.get("TCDIFF_LAYER_FUSE", "0") == "1"
+
+
+def _layer_fuse_ff() -> bool:
+    """TCDIFF_LAYER_FUSE_FF=0 drops the FF section out of the fused layer
+    program (SA+CA fused, FF via the separate fused_ff_tail) — the
+    fallback if the full program exceeds Mosaic's 16 MB scoped-VMEM
+    stack at real shapes."""
+    import os
+
+    return os.environ.get("TCDIFF_LAYER_FUSE_FF", "1") == "1"
 
 
 def _use_train_sab() -> bool:
@@ -650,6 +676,11 @@ class FiLMTransformerDecoderLayer(nn.Module):
     # the reference hardcodes d_k=64 (`model/model.py:55,532`); configurable
     # so small test configs stay consistent with the TRPE table sizing
     head_dim: int = 64
+    # (dp, tp) Mesh for dp-sharded training: threads into the fused TRAIN
+    # kernels so their Pallas programs run under shard_map with the batch
+    # sharded over dp (parallel/kernel_shard.py) instead of GSPMD
+    # all-gathering the custom-call operands. None = single-device/unsharded.
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, memory, t, traj_emb, shared_emb, trj_dist=None, *,
@@ -671,8 +702,84 @@ class FiLMTransformerDecoderLayer(nn.Module):
         # dedup mode falls back to the external film add at this site
         fuse_film = deterministic and _use_fuse_film() and not tile_sa
 
+        # whole-layer fusion (TCDIFF_LAYER_FUSE): SA + cached-k/v CA + FF
+        # + tail in one Pallas program (ops/fused_layer.py); the per-block
+        # sections below are skipped when it applies
+        use_layer = (
+            deterministic and _use_layer_fuse() and kv_cache is not None
+            and trj_dist is None and not tile_sa
+        )
+        if use_layer:
+            from tcdiff_tpu.ops.fused_layer import fused_layer
+
+            s1, b1 = _LNParams(d, name="norm1")()
+            wq, wk, wv, fc, sa_s2, sa_b2 = _SAParams(
+                d, self.n_head * self.head_dim, name="self_attn"
+            )()
+            fsc, fsh = DenseFiLM(d, self.dtype, name="film1")(t)
+            n2s, n2b = _LNParams(d, name="norm2")()
+            cwq, cwk, cwv, cfc, cs2, cb2 = _SAParams(
+                d, self.n_head * self.head_dim, name="multihead_attn"
+            )()
+            fsc2, fsh2 = DenseFiLM(d, self.dtype, name="film2")(t)
+            s3, b3 = _LNParams(d, name="norm3")()
+            k1, bb1 = _DenseParams(d, self.ff_size, name="linear1")()
+            k2f, bb2f = _DenseParams(self.ff_size, d, name="linear2")()
+            fsc3, fsh3 = DenseFiLM(d, self.dtype, name="film3")(t)
+            s4, b4 = _LNParams(d, name="norm4")()
+            k3, bb3 = _DenseParams(d, d, name="linear3")()
+
+            # assemble the full cross-attention k/v outside the kernel:
+            # cached music rows + the 2 per-step t rows (tiny XLA concat,
+            # identical math to the SBIMSA kv_parts path)
+            kct, vct, tp3, tp4 = kv_cache
+            if kv_projected:
+                kt, vt = tp3, tp4
+            else:
+                norm_t, rot_t = tp3, tp4
+                kt = rot_t.astype(self.dtype) @ cwk.astype(self.dtype)
+                vt = norm_t.astype(self.dtype) @ cwv.astype(self.dtype)
+            kcat = jnp.concatenate(
+                [kct.astype(self.dtype), kt.astype(self.dtype)], axis=1
+            )
+            vcat = jnp.concatenate(
+                [vct.astype(self.dtype), vt.astype(self.dtype)], axis=1
+            )
+            common = (
+                x, angles_x,
+                s1, b1,
+                wq.astype(self.dtype), wk.astype(self.dtype),
+                wv.astype(self.dtype), fc.astype(self.dtype), sa_s2, sa_b2,
+                fsc[:, 0], fsh[:, 0],
+                n2s, n2b, cwq.astype(self.dtype), cfc.astype(self.dtype),
+                cs2, cb2, kcat, vcat, fsc2[:, 0], fsh2[:, 0],
+            )
+            if _layer_fuse_ff():
+                x = fused_layer(
+                    *common,
+                    s3, b3, k1.astype(self.dtype), bb1,
+                    k2f.astype(self.dtype), bb2f, fsc3[:, 0], fsh3[:, 0],
+                    s4, b4, k3.astype(self.dtype), bb3,
+                    nhead=self.n_head, mesh=self.mesh,
+                )
+            else:
+                from tcdiff_tpu.ops.fused_ff_block import fused_ff_tail
+
+                x = fused_layer(
+                    *common, nhead=self.n_head, include_ff=False,
+                    mesh=self.mesh,
+                )
+                x = fused_ff_tail(
+                    x, s3, b3,
+                    k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
+                    fsc3[:, 0], fsh3[:, 0], s4, b4,
+                    k3.astype(self.dtype), bb3, eps=1e-5, mesh=self.mesh,
+                )
+
         # self-attention + FiLM(t)
-        if deterministic and _use_pallas_sab():
+        if use_layer:
+            pass  # handled by the whole-layer program above
+        elif deterministic and _use_pallas_sab():
             from tcdiff_tpu.ops.fused_sa_block import fused_sa_block
 
             s1, b1 = _LNParams(d, name="norm1")()
@@ -686,10 +793,11 @@ class FiLMTransformerDecoderLayer(nn.Module):
             )
             if fuse_film:
                 x = fused_sa_block(
-                    *sab_args, fsc[:, 0], fsh[:, 0], nhead=self.n_head
+                    *sab_args, fsc[:, 0], fsh[:, 0], nhead=self.n_head,
+                    mesh=self.mesh,
                 )
             else:
-                sa = fused_sa_block(*sab_args, nhead=self.n_head)
+                sa = fused_sa_block(*sab_args, nhead=self.n_head, mesh=self.mesh)
                 if tile_sa:
                     sa = jnp.concatenate([sa, sa], axis=0)
                     x = jnp.concatenate([x, x], axis=0)
@@ -722,7 +830,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
                 wq.astype(self.dtype), wk.astype(self.dtype),
                 wv.astype(self.dtype), fc.astype(self.dtype), s2, b2,
                 fsc[:, 0], fsh[:, 0], seeds,
-                self.n_head, rate, 1e-5, 1e-6,
+                self.n_head, rate, 1e-5, 1e-6, self.mesh,
             )
         else:
             if fuse_lnrot:
@@ -750,7 +858,9 @@ class FiLMTransformerDecoderLayer(nn.Module):
         # gather shapes are only consistent for query-length keys, and no
         # reference entry point ever passes a non-None trj_dist.
         k = None if memory is None else apply_rotary(memory, angles_m)
-        if kv_cache is not None:
+        if use_layer:
+            pass  # handled by the whole-layer program above
+        elif kv_cache is not None:
             # hoisted music-token k/v (_use_kv_cache): q side as usual,
             # k/v assembled inside SBIMSA from the cache + t-token rows
             h = nn.LayerNorm(**_ln_kwargs(), epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
@@ -777,10 +887,11 @@ class FiLMTransformerDecoderLayer(nn.Module):
             )
             if fuse_film:
                 x = fused_ca_block(
-                    *xab_args, fsc2[:, 0], fsh2[:, 0], nhead=self.n_head
+                    *xab_args, fsc2[:, 0], fsh2[:, 0], nhead=self.n_head,
+                    mesh=self.mesh,
                 )
             else:
-                ca = fused_ca_block(*xab_args, nhead=self.n_head)
+                ca = fused_ca_block(*xab_args, nhead=self.n_head, mesh=self.mesh)
                 x = x + featurewise_affine(ca, (fsc2, fsh2))
         elif (not deterministic) and _use_train_xab() and memory is not None:
             # fused TRAIN cross-attention block: custom-VJP Pallas program
@@ -808,7 +919,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
                 cwq.astype(self.dtype), cwk.astype(self.dtype),
                 cwv.astype(self.dtype), cfc.astype(self.dtype), cs2, cb2,
                 fsc2[:, 0], fsh2[:, 0], seeds,
-                self.n_head, rate, 1e-5, 1e-6,
+                self.n_head, rate, 1e-5, 1e-6, self.mesh,
             )
         else:
             if fuse_lnrot:
@@ -832,7 +943,9 @@ class FiLMTransformerDecoderLayer(nn.Module):
         if quant:
             from tcdiff_tpu.ops.int8 import int8_dense
         tail_done = False
-        if deterministic and _use_pallas_ffb():
+        if use_layer:
+            tail_done = True  # FF + tail handled by the whole-layer program
+        elif deterministic and _use_pallas_ffb():
             from tcdiff_tpu.ops.fused_ff_block import fused_ff_block, fused_ff_tail
 
             s3, b3 = _LNParams(d, name="norm3")()
@@ -846,20 +959,20 @@ class FiLMTransformerDecoderLayer(nn.Module):
                     x, s3, b3,
                     k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
                     fsc3[:, 0], fsh3[:, 0], s4, b4,
-                    k3.astype(self.dtype), bb3, eps=1e-5,
+                    k3.astype(self.dtype), bb3, eps=1e-5, mesh=self.mesh,
                 )
                 tail_done = True
             elif fuse_film:
                 x = fused_ff_block(
                     x, s3, b3,
                     k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
-                    fsc3[:, 0], fsh3[:, 0], eps=1e-5,
+                    fsc3[:, 0], fsh3[:, 0], eps=1e-5, mesh=self.mesh,
                 )
             else:
                 h = fused_ff_block(
                     x, s3, b3,
                     k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
-                    eps=1e-5,
+                    eps=1e-5, mesh=self.mesh,
                 )
                 x = x + featurewise_affine(h, (fsc3, fsh3))
         elif (not deterministic) and _use_train_ffb():
@@ -885,7 +998,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
                 x, s3, b3,
                 k1.astype(self.dtype), bb1, k2f.astype(self.dtype), bb2f,
                 fsc3[:, 0], fsh3[:, 0], s4, b4,
-                k3.astype(self.dtype), bb3, seeds, rate, 1e-5,
+                k3.astype(self.dtype), bb3, seeds, rate, 1e-5, self.mesh,
             )
             tail_done = True
         else:
@@ -974,6 +1087,10 @@ class DanceDecoder(nn.Module):
     use_traj_modulation: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # rematerialize decoder layers (memory <- FLOPs)
+    # (dp, tp) Mesh threaded to the fused TRAIN kernels so their Pallas
+    # programs shard the batch over dp via shard_map (see
+    # FiLMTransformerDecoderLayer.mesh); None = unsharded/single-device
+    mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -1194,6 +1311,7 @@ class DanceDecoder(nn.Module):
                 self.use_traj_modulation,
                 self.dtype,
                 cfg.head_dim,
+                mesh=self.mesh,
                 name=f"decoder_{i}",
             )
             if self.remat:

@@ -82,10 +82,11 @@ def _ca_block_kernel(
     o_ref[0] = ca.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("nhead", "eps1", "eps2"))
+@functools.partial(jax.jit, static_argnames=("nhead", "eps1", "eps2", "mesh"))
 def fused_ca_block(
     x, s1, b1, angles, memory, memory_rot, wq, wk, wv, wfc, s2, b2,
     film_scale=None, film_shift=None, *, nhead, eps1=1e-5, eps2=1e-6,
+    mesh=None,
 ):
     """SBIMSA cross-attention block output for pre-norm input x.
 
@@ -122,20 +123,28 @@ def fused_ca_block(
         ]
         args += [film_scale[:, None, :], film_shift[:, None, :]]
 
-    return pl.pallas_call(
-        functools.partial(
-            _ca_block_kernel, nhead=nhead, dk=dk, scale=scale,
-            eps1=eps1, eps2=eps2, film=film,
-        ),
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=bmat(Lq, d),
-        out_shape=jax.ShapeDtypeStruct((b, Lq, d), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Lq * d * hd + 2 * 2 * Lkv * d * hd
-            + nhead * 2 * Lq * Lkv * 2 * dk + 2 * Lq * hd * d,
-            bytes_accessed=4 * (Lq * d * 2 + 2 * Lkv * d) + 2 * 4 * d * hd,
-            transcendentals=Lq * Lkv * nhead,
-        ),
-        interpret=_interpret(),
-    )(*args)
+    def build(*a):
+        bl = a[0].shape[0]  # LOCAL batch when sharded over dp (kernel_shard)
+        return pl.pallas_call(
+            functools.partial(
+                _ca_block_kernel, nhead=nhead, dk=dk, scale=scale,
+                eps1=eps1, eps2=eps2, film=film,
+            ),
+            grid=(bl,),
+            in_specs=in_specs,
+            out_specs=bmat(Lq, d),
+            out_shape=jax.ShapeDtypeStruct((bl, Lq, d), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Lq * d * hd + 2 * 2 * Lkv * d * hd
+                + nhead * 2 * Lq * Lkv * 2 * dk + 2 * Lq * hd * d,
+                bytes_accessed=4 * (Lq * d * 2 + 2 * Lkv * d) + 2 * 4 * d * hd,
+                transcendentals=Lq * Lkv * nhead,
+            ),
+            interpret=_interpret(),
+        )(*a)
+
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
+    flags = (True, False, False, False, False, True, True) + (False,) * 6 \
+        + ((True, True) if film else ())
+    return dp_shard(build, dp_kernel_mesh(mesh, b), flags, True)(*args)

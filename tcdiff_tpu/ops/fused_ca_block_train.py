@@ -168,10 +168,11 @@ def _ca_bwd_proj_kernel(
     dmem_ref[0] = dmem.astype(dmem_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20, 21))
 def fused_ca_block_train(
     x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
     sa_s, sa_b, film_scale, film_shift, seeds, nhead, rate, eps1, eps2,
+    mesh=None,
 ):
     """Training-path cross-attention block with fused Pallas fwd+bwd.
 
@@ -181,10 +182,14 @@ def fused_ca_block_train(
     sa_s/sa_b: SBIMSA's internal LayerNorm affine (eps2); film_scale/
     film_shift: (b, d) FiLM rows; seeds: (b,) uint32. Returns
     x + (film_scale+1)*block + film_shift; gradients flow to x AND mem.
+
+    mesh: optional (dp, tp) Mesh — shard the Pallas programs' batch over
+    dp via shard_map (parallel/kernel_shard.py) instead of letting GSPMD
+    all-gather the custom-call operands.
     """
     return _fwd(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
                 sa_s, sa_b, film_scale, film_shift, seeds,
-                nhead, rate, eps1, eps2)[0]
+                nhead, rate, eps1, eps2, mesh)[0]
 
 
 def _common_specs(b, L, Lm, d, hd):
@@ -198,27 +203,40 @@ def _common_specs(b, L, Lm, d, hd):
 
 
 def _fwd(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
-         sa_s, sa_b, film_scale, film_shift, seeds, nhead, rate, eps1, eps2):
-    b, L, d = x.shape
-    Lm = mem.shape[1]
+         sa_s, sa_b, film_scale, film_shift, seeds, nhead, rate, eps1, eps2,
+         mesh):
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
-    vec, mat, bx, bm, brow, seed_b = _common_specs(b, L, Lm, d, hd)
-    out = pl.pallas_call(
-        functools.partial(
-            _ca_train_fwd_kernel, nhead=nhead, dk=dk, scale=scale,
-            eps1=eps1, eps2=eps2, rate=rate,
-        ),
-        grid=(b,),
-        in_specs=[
-            bx, bm, vec(d), vec(d), mat(L, d), mat(L, d), mat(Lm, d), mat(Lm, d),
-            mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),
-            vec(d), vec(d), brow, brow, seed_b,
-        ],
-        out_specs=bx,
-        out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
-        interpret=_interpret(),
+
+    def build(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
+              sa_s, sa_b, fs, fb, seeds):
+        b, L, d = x.shape  # LOCAL batch under shard_map
+        Lm = mem.shape[1]
+        vec, mat, bx, bm, brow, seed_b = _common_specs(b, L, Lm, d, hd)
+        return pl.pallas_call(
+            functools.partial(
+                _ca_train_fwd_kernel, nhead=nhead, dk=dk, scale=scale,
+                eps1=eps1, eps2=eps2, rate=rate,
+            ),
+            grid=(b,),
+            in_specs=[
+                bx, bm, vec(d), vec(d), mat(L, d), mat(L, d), mat(Lm, d), mat(Lm, d),
+                mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),
+                vec(d), vec(d), brow, brow, seed_b,
+            ],
+            out_specs=bx,
+            out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+            interpret=_interpret(),
+        )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
+          sa_s, sa_b, fs, fb, seeds)
+
+    out = dp_shard(
+        build, dp_kernel_mesh(mesh, x.shape[0]),
+        batch_in=(True, True) + (False,) * 12 + (True, True, True),
+        batch_out=True,
     )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
       sa_s, sa_b, film_scale[:, None, :], film_shift[:, None, :], seeds)
     res = (x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
@@ -226,99 +244,113 @@ def _fwd(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
     return out, res
 
 
-def _bwd(nhead, rate, eps1, eps2, res, g):
+def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
     (x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
      sa_s, sa_b, film_scale, film_shift, seeds) = res
-    b, L, d = x.shape
-    Lm = mem.shape[1]
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
     cd = wq.dtype
     f32 = jnp.float32
     interp = _interpret()
-    vec, mat, bx, bm, brow, seed_b = _common_specs(b, L, Lm, d, hd)
-    heads_q = pl.BlockSpec((1, nhead, L, dk), lambda i: (i, 0, 0, 0),
-                           memory_space=pltpu.VMEM)
-    heads_kv = pl.BlockSpec((1, nhead, Lm, dk), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    head_q1 = pl.BlockSpec((1, 1, L, dk), lambda i, j: (i, j, 0, 0),
-                           memory_space=pltpu.VMEM)
-    head_kv1 = pl.BlockSpec((1, 1, Lm, dk), lambda i, j: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
-    seed_bh = pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM)
-    qshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
-    kvshape = jax.ShapeDtypeStruct((b, nhead, Lm, dk), cd)
 
-    # K1x: projections on both sides
-    q, k, v = pl.pallas_call(
-        functools.partial(_ca_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
-        grid=(b,),
-        in_specs=[bx, bm, vec(d), vec(d), mat(L, d), mat(L, d),
-                  mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd), mat(d, hd)],
-        out_specs=(heads_q, heads_kv, heads_kv),
-        out_shape=(qshape, kvshape, kvshape),
-        interpret=interp,
-    )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv)
+    def chain(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
+              sa_s, sa_b, film_scale, film_shift, seeds, g):
+        b, L, d = x.shape  # LOCAL batch under shard_map
+        Lm = mem.shape[1]
+        vec, mat, bx, bm, brow, seed_b = _common_specs(b, L, Lm, d, hd)
+        heads_q = pl.BlockSpec((1, nhead, L, dk), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        heads_kv = pl.BlockSpec((1, nhead, Lm, dk), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        head_q1 = pl.BlockSpec((1, 1, L, dk), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        head_kv1 = pl.BlockSpec((1, 1, Lm, dk), lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        seed_bh = pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM)
+        qshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
+        kvshape = jax.ShapeDtypeStruct((b, nhead, Lm, dk), cd)
 
-    # K2 (shared): per-head forward attention outputs
-    o = pl.pallas_call(
-        functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
-        grid=(b, nhead),
-        in_specs=[head_q1, head_kv1, head_kv1, seed_bh],
-        out_specs=head_q1,
-        out_shape=qshape,
-        interpret=interp,
-    )(q, k, v, seeds)
+        # K1x: projections on both sides
+        q, k, v = pl.pallas_call(
+            functools.partial(_ca_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
+            grid=(b,),
+            in_specs=[bx, bm, vec(d), vec(d), mat(L, d), mat(L, d),
+                      mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd), mat(d, hd)],
+            out_specs=(heads_q, heads_kv, heads_kv),
+            out_shape=(qshape, kvshape, kvshape),
+            interpret=interp,
+        )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv)
 
-    # K3 (shared): chain-top forward recompute + backward down to do
-    do, dwfc, dss, dsb, dfs, dfb = pl.pallas_call(
-        functools.partial(_bwd_chain_top_kernel, nhead=nhead, dk=dk,
-                          eps2=eps2, rate=rate),
-        grid=(b,),
-        in_specs=[heads_q, mat(hd, d), vec(d), vec(d), brow, seed_b, bx],
-        out_specs=(heads_q, mat(hd, d), vec(d), vec(d), brow, brow),
-        out_shape=(
-            qshape,
-            jax.ShapeDtypeStruct((hd, d), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-            jax.ShapeDtypeStruct((b, 1, d), f32),
-            jax.ShapeDtypeStruct((b, 1, d), f32),
-        ),
-        interpret=interp,
-    )(o, wfc, sa_s, sa_b, film_scale[:, None, :], seeds, g)
+        # K2 (shared): per-head forward attention outputs
+        o = pl.pallas_call(
+            functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
+            grid=(b, nhead),
+            in_specs=[head_q1, head_kv1, head_kv1, seed_bh],
+            out_specs=head_q1,
+            out_shape=qshape,
+            interpret=interp,
+        )(q, k, v, seeds)
 
-    # K4 (shared): per-head attention backward
-    dqh, dkh, dvh = pl.pallas_call(
-        functools.partial(_bwd_attn_head_kernel, scale=scale, rate=rate),
-        grid=(b, nhead),
-        in_specs=[head_q1, head_kv1, head_kv1, head_q1, seed_bh],
-        out_specs=(head_q1, head_kv1, head_kv1),
-        out_shape=(qshape, kvshape, kvshape),
-        interpret=interp,
-    )(q, k, v, do, seeds)
+        # K3 (shared): chain-top forward recompute + backward down to do
+        do, dwfc, dss, dsb, dfs, dfb = pl.pallas_call(
+            functools.partial(_bwd_chain_top_kernel, nhead=nhead, dk=dk,
+                              eps2=eps2, rate=rate),
+            grid=(b,),
+            in_specs=[heads_q, mat(hd, d), vec(d), vec(d), brow, seed_b, bx],
+            out_specs=(heads_q, mat(hd, d), vec(d), vec(d), brow, brow),
+            out_shape=(
+                qshape,
+                jax.ShapeDtypeStruct((hd, d), f32),
+                jax.ShapeDtypeStruct((d,), f32),
+                jax.ShapeDtypeStruct((d,), f32),
+                jax.ShapeDtypeStruct((b, 1, d), f32),
+                jax.ShapeDtypeStruct((b, 1, d), f32),
+            ),
+            interpret=interp,
+        )(o, wfc, sa_s, sa_b, film_scale[:, None, :], seeds, g)
 
-    # K5x: projection/rotary/LN2 backward on both sides
-    dx, dmem, dwq, dwk, dwv, ds2, db2 = pl.pallas_call(
-        functools.partial(_ca_bwd_proj_kernel, nhead=nhead, eps1=eps1),
-        grid=(b,),
-        in_specs=[bx, bm, vec(d), vec(d), mat(L, d), mat(L, d),
-                  mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd), mat(d, hd),
-                  heads_q, heads_kv, heads_kv, bx],
-        out_specs=(bx, bm, mat(d, hd), mat(d, hd), mat(d, hd), vec(d), vec(d)),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, L, d), x.dtype),
-            jax.ShapeDtypeStruct((b, Lm, d), mem.dtype),
-            jax.ShapeDtypeStruct((d, hd), f32),
-            jax.ShapeDtypeStruct((d, hd), f32),
-            jax.ShapeDtypeStruct((d, hd), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-        ),
-        interpret=interp,
-    )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv,
-      dqh, dkh, dvh, g)
+        # K4 (shared): per-head attention backward
+        dqh, dkh, dvh = pl.pallas_call(
+            functools.partial(_bwd_attn_head_kernel, scale=scale, rate=rate),
+            grid=(b, nhead),
+            in_specs=[head_q1, head_kv1, head_kv1, head_q1, seed_bh],
+            out_specs=(head_q1, head_kv1, head_kv1),
+            out_shape=(qshape, kvshape, kvshape),
+            interpret=interp,
+        )(q, k, v, do, seeds)
+
+        # K5x: projection/rotary/LN2 backward on both sides
+        dx, dmem, dwq, dwk, dwv, ds2, db2 = pl.pallas_call(
+            functools.partial(_ca_bwd_proj_kernel, nhead=nhead, eps1=eps1),
+            grid=(b,),
+            in_specs=[bx, bm, vec(d), vec(d), mat(L, d), mat(L, d),
+                      mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd), mat(d, hd),
+                      heads_q, heads_kv, heads_kv, bx],
+            out_specs=(bx, bm, mat(d, hd), mat(d, hd), mat(d, hd), vec(d), vec(d)),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, L, d), x.dtype),
+                jax.ShapeDtypeStruct((b, Lm, d), mem.dtype),
+                jax.ShapeDtypeStruct((d, hd), f32),
+                jax.ShapeDtypeStruct((d, hd), f32),
+                jax.ShapeDtypeStruct((d, hd), f32),
+                jax.ShapeDtypeStruct((d,), f32),
+                jax.ShapeDtypeStruct((d,), f32),
+            ),
+            interpret=interp,
+        )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv,
+          dqh, dkh, dvh, g)
+        return dx, dmem, dwq, dwk, dwv, dwfc, ds2, db2, dss, dsb, dfs, dfb
+
+    (dx, dmem, dwq, dwk, dwv, dwfc, ds2, db2, dss, dsb, dfs, dfb) = dp_shard(
+        chain, dp_kernel_mesh(mesh, x.shape[0]),
+        batch_in=(True, True) + (False,) * 12 + (True, True, True, True),
+        # weight/affine grads are local-batch sums -> psum over dp
+        batch_out=(True, True) + (False,) * 8 + (True, True),
+    )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
+      sa_s, sa_b, film_scale, film_shift, seeds, g)
 
     dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
     return (

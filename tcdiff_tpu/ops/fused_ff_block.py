@@ -107,9 +107,9 @@ def _ff_tail_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[0] = (out + b3_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+@functools.partial(jax.jit, static_argnames=("eps", "mesh"))
 def fused_ff_tail(x, scale, bias, w1, b1, w2, b2, film_scale, film_shift,
-                  s4, b4, w3, b3, eps: float = 1e-5):
+                  s4, b4, w3, b3, eps: float = 1e-5, mesh=None):
     """linear3(LN4(x + FiLM(FF(LN3(x))))) — the whole decoder-layer tail in
     one VMEM-resident pass. film_scale/film_shift: (b, d) FiLM rows."""
     b, L, d = x.shape
@@ -117,30 +117,39 @@ def fused_ff_tail(x, scale, bias, w1, b1, w2, b2, film_scale, film_shift,
     vec = lambda n: pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bmat3 = lambda r, c: pl.BlockSpec((1, r, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_ff_tail_kernel, eps=eps),
-        grid=(b,),
-        in_specs=[
-            bmat3(L, d), vec(d), vec(d),
-            mat(d, ff), vec(ff), mat(ff, d), vec(d),
-            bmat3(1, d), bmat3(1, d),
-            vec(d), vec(d), mat(d, d), vec(d),
-        ],
-        out_specs=bmat3(L, d),
-        out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * L * d * (2 * ff + d),
-            bytes_accessed=4 * L * d * 2 + 2 * (2 * d * ff + d * d),
-            transcendentals=L * ff,
-        ),
-        interpret=_interpret(),
-    )(x, scale, bias, w1, b1, w2, b2,
-      film_scale[:, None, :], film_shift[:, None, :], s4, b4, w3, b3)
+
+    def build(*a):
+        bl = a[0].shape[0]  # LOCAL batch when sharded over dp (kernel_shard)
+        return pl.pallas_call(
+            functools.partial(_ff_tail_kernel, eps=eps),
+            grid=(bl,),
+            in_specs=[
+                bmat3(L, d), vec(d), vec(d),
+                mat(d, ff), vec(ff), mat(ff, d), vec(d),
+                bmat3(1, d), bmat3(1, d),
+                vec(d), vec(d), mat(d, d), vec(d),
+            ],
+            out_specs=bmat3(L, d),
+            out_shape=jax.ShapeDtypeStruct((bl, L, d), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * L * d * (2 * ff + d),
+                bytes_accessed=4 * L * d * 2 + 2 * (2 * d * ff + d * d),
+                transcendentals=L * ff,
+            ),
+            interpret=_interpret(),
+        )(*a)
+
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
+    flags = (True,) + (False,) * 6 + (True, True) + (False,) * 4
+    return dp_shard(build, dp_kernel_mesh(mesh, b), flags, True)(
+        x, scale, bias, w1, b1, w2, b2,
+        film_scale[:, None, :], film_shift[:, None, :], s4, b4, w3, b3)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+@functools.partial(jax.jit, static_argnames=("eps", "mesh"))
 def fused_ff_block(x, scale, bias, w1, b1, w2, b2, film_scale=None,
-                   film_shift=None, eps: float = 1e-5):
+                   film_shift=None, eps: float = 1e-5, mesh=None):
     """linear2(gelu(linear1(LN(x)))) in one VMEM-resident pass.
 
     x: (b, L, d); scale/bias: (d,) LN affine; w1: (d, ff) + b1: (ff,);
@@ -171,16 +180,23 @@ def fused_ff_block(x, scale, bias, w1, b1, w2, b2, film_scale=None,
         ]
         args += [film_scale[:, None, :], film_shift[:, None, :]]
 
-    return pl.pallas_call(
-        functools.partial(_ff_kernel, eps=eps, film=film),
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * L * d * ff * 2,
-            bytes_accessed=4 * L * d * 2 + 2 * 2 * d * ff,
-            transcendentals=L * ff,
-        ),
-        interpret=_interpret(),
-    )(*args)
+    def build(*a):
+        bl = a[0].shape[0]  # LOCAL batch when sharded over dp (kernel_shard)
+        return pl.pallas_call(
+            functools.partial(_ff_kernel, eps=eps, film=film),
+            grid=(bl,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bl, L, d), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * L * d * ff * 2,
+                bytes_accessed=4 * L * d * 2 + 2 * 2 * d * ff,
+                transcendentals=L * ff,
+            ),
+            interpret=_interpret(),
+        )(*a)
+
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
+    flags = (True,) + (False,) * 6 + ((True, True) if film else ())
+    return dp_shard(build, dp_kernel_mesh(mesh, b), flags, True)(*args)

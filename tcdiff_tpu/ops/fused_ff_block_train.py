@@ -184,10 +184,10 @@ def _specs(b, L, d, ff):
     return in_specs, bx, brow, vec, mat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
 def fused_ff_tail_train(
     x, s3, b3, w1, bb1, w2, bb2, film_scale, film_shift, s4, b4, w3, bb3,
-    seeds, rate, eps,
+    seeds, rate, eps, mesh=None,
 ):
     """Training-path FF block + layer tail with fused Pallas fwd+bwd.
 
@@ -198,71 +198,90 @@ def fused_ff_tail_train(
     dropout(rate) at the two reference FF sites when rate > 0.
     """
     return _fwd(x, s3, b3, w1, bb1, w2, bb2, film_scale, film_shift,
-                s4, b4, w3, bb3, seeds, rate, eps)[0]
+                s4, b4, w3, bb3, seeds, rate, eps, mesh)[0]
 
 
 def _fwd(x, s3, b3, w1, bb1, w2, bb2, film_scale, film_shift, s4, b4, w3,
-         bb3, seeds, rate, eps):
-    b, L, d = x.shape
-    ff = w1.shape[-1]
-    in_specs, bx, brow, _, _ = _specs(b, L, d, ff)
-    args = (x, s3, b3, w1, bb1, w2, bb2,
-            film_scale[:, None, :], film_shift[:, None, :],
-            s4, b4, w3, bb3, seeds)
-    out = pl.pallas_call(
-        functools.partial(_ff_train_fwd_kernel, eps=eps, rate=rate),
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=bx,
-        out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * L * d * (2 * ff + d),
-            bytes_accessed=b * L * d * 2 * 2 + 2 * (2 * d * ff + d * d),
-            transcendentals=b * L * ff,
-        ),
-        interpret=_interpret(),
-    )(*args)
+         bb3, seeds, rate, eps, mesh):
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
+    def build(x, s3, b3, w1, bb1, w2, bb2, fs, fb, s4, b4, w3, bb3, seeds):
+        b, L, d = x.shape  # LOCAL batch under shard_map
+        ff = w1.shape[-1]
+        in_specs, bx, brow, _, _ = _specs(b, L, d, ff)
+        return pl.pallas_call(
+            functools.partial(_ff_train_fwd_kernel, eps=eps, rate=rate),
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=bx,
+            out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * L * d * (2 * ff + d),
+                bytes_accessed=b * L * d * 2 * 2 + 2 * (2 * d * ff + d * d),
+                transcendentals=b * L * ff,
+            ),
+            interpret=_interpret(),
+        )(x, s3, b3, w1, bb1, w2, bb2, fs, fb, s4, b4, w3, bb3, seeds)
+
+    out = dp_shard(
+        build, dp_kernel_mesh(mesh, x.shape[0]),
+        batch_in=(True,) + (False,) * 6 + (True, True) + (False,) * 4 + (True,),
+        batch_out=True,
+    )(x, s3, b3, w1, bb1, w2, bb2,
+      film_scale[:, None, :], film_shift[:, None, :],
+      s4, b4, w3, bb3, seeds)
     res = (x, s3, b3, w1, bb1, w2, bb2, film_scale, film_shift,
            s4, b4, w3, bb3, seeds)
     return out, res
 
 
-def _bwd(rate, eps, res, g):
+def _bwd(rate, eps, mesh, res, g):
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
     (x, s3, b3, w1, bb1, w2, bb2, film_scale, film_shift,
      s4, b4, w3, bb3, seeds) = res
-    b, L, d = x.shape
-    ff = w1.shape[-1]
-    in_specs, bx, brow, vec, mat = _specs(b, L, d, ff)
-    in_specs = in_specs + [bx]  # cotangent
-    out_specs = (
-        bx,  # dx
-        vec(d), vec(d),  # ds3, db3
-        mat(d, ff), vec(ff), mat(ff, d), vec(d),  # dw1, dbb1, dw2, dbb2
-        brow, brow,  # dfs, dfb
-        vec(d), vec(d), mat(d, d), vec(d),  # ds4, db4, dw3, dbb3
-    )
-    f32 = jnp.float32
-    out_shape = (
-        jax.ShapeDtypeStruct((b, L, d), x.dtype),
-        jax.ShapeDtypeStruct((d,), f32), jax.ShapeDtypeStruct((d,), f32),
-        jax.ShapeDtypeStruct((d, ff), f32), jax.ShapeDtypeStruct((ff,), f32),
-        jax.ShapeDtypeStruct((ff, d), f32), jax.ShapeDtypeStruct((d,), f32),
-        jax.ShapeDtypeStruct((b, 1, d), f32), jax.ShapeDtypeStruct((b, 1, d), f32),
-        jax.ShapeDtypeStruct((d,), f32), jax.ShapeDtypeStruct((d,), f32),
-        jax.ShapeDtypeStruct((d, d), f32), jax.ShapeDtypeStruct((d,), f32),
-    )
-    args = (x, s3, b3, w1, bb1, w2, bb2,
-            film_scale[:, None, :], film_shift[:, None, :],
-            s4, b4, w3, bb3, seeds, g)
-    (dx, ds3, db3, dw1, dbb1, dw2, dbb2, dfs, dfb, ds4, db4, dw3, dbb3) = (
-        pl.pallas_call(
+
+    def build(x, s3, b3, w1, bb1, w2, bb2, fs, fb, s4, b4, w3, bb3, seeds, g):
+        b, L, d = x.shape  # LOCAL batch under shard_map
+        ff = w1.shape[-1]
+        in_specs, bx, brow, vec, mat = _specs(b, L, d, ff)
+        in_specs = in_specs + [bx]  # cotangent
+        out_specs = (
+            bx,  # dx
+            vec(d), vec(d),  # ds3, db3
+            mat(d, ff), vec(ff), mat(ff, d), vec(d),  # dw1, dbb1, dw2, dbb2
+            brow, brow,  # dfs, dfb
+            vec(d), vec(d), mat(d, d), vec(d),  # ds4, db4, dw3, dbb3
+        )
+        f32 = jnp.float32
+        out_shape = (
+            jax.ShapeDtypeStruct((b, L, d), x.dtype),
+            jax.ShapeDtypeStruct((d,), f32), jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((d, ff), f32), jax.ShapeDtypeStruct((ff,), f32),
+            jax.ShapeDtypeStruct((ff, d), f32), jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((b, 1, d), f32), jax.ShapeDtypeStruct((b, 1, d), f32),
+            jax.ShapeDtypeStruct((d,), f32), jax.ShapeDtypeStruct((d,), f32),
+            jax.ShapeDtypeStruct((d, d), f32), jax.ShapeDtypeStruct((d,), f32),
+        )
+        return pl.pallas_call(
             functools.partial(_ff_train_bwd_kernel, eps=eps, rate=rate),
             grid=(b,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=_interpret(),
-        )(*args)
+        )(x, s3, b3, w1, bb1, w2, bb2, fs, fb, s4, b4, w3, bb3, seeds, g)
+
+    (dx, ds3, db3, dw1, dbb1, dw2, dbb2, dfs, dfb, ds4, db4, dw3, dbb3) = (
+        dp_shard(
+            build, dp_kernel_mesh(mesh, x.shape[0]),
+            batch_in=(True,) + (False,) * 6 + (True, True) + (False,) * 4
+            + (True, True),
+            # weight/affine grads are local-batch sums -> psum over dp
+            batch_out=(True,) + (False,) * 6 + (True, True) + (False,) * 4,
+        )(x, s3, b3, w1, bb1, w2, bb2,
+          film_scale[:, None, :], film_shift[:, None, :],
+          s4, b4, w3, bb3, seeds, g)
     )
     dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
     return (

@@ -97,7 +97,8 @@ def _sa_block_kernel(
         # with a LEADING batch dim — never the lane-splitting reshape that
         # blocks the `batched` variant in Mosaic. The out projection runs
         # per-head against (h, dk, d) slices of wfc and SUMS over heads —
-        # concat-then-matmul, reassociated (exact in f32 accumulation).
+        # agrees with concat-then-matmul to fp tolerance only (the
+        # per-head partial-sum order differs from the single contraction).
         cd = wq_ref.dtype
         qh = jax.lax.dot_general(  # (h, dk, L)
             wq_ref[:].astype(cd), rc, (((1,), (1,)), ((), ())),
@@ -233,11 +234,11 @@ def _sa_block_kernel(
     o_ref[0] = sa.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("nhead", "eps1", "eps2"))
+@functools.partial(jax.jit, static_argnames=("nhead", "eps1", "eps2", "mesh"))
 def fused_sa_block(
     x, s1, b1, angles, wq, wk, wv, wfc, s2, b2,
     table=None, trj_dist=None, film_scale=None, film_shift=None,
-    *, nhead, eps1=1e-5, eps2=1e-6,
+    *, nhead, eps1=1e-5, eps2=1e-6, mesh=None,
 ):
     """SBIMSA self-attention block output for pre-norm input x.
 
@@ -314,30 +315,42 @@ def fused_sa_block(
         bytes_accessed=4 * (L * d * 2) + 2 * (3 * d * hd + hd * d),
         transcendentals=L * L * nhead,
     )
-    return pl.pallas_call(
-        functools.partial(
-            _sa_block_kernel, nhead=nhead, dk=dk, scale=scale,
-            eps1=eps1, eps2=eps2, bias=bias, film=film,
-            # TCDIFF_SAB_BATCHED=1: all-heads batched attention layout
-            # (one (h, L, dk) relayout + 3-D contractions vs 8 sliced
-            # loops). Does NOT compile on current Mosaic — the lane-
-            # splitting reshape hits "infer-vector-layout: unsupported
-            # shape cast"; kept for interpret-mode comparison and future
-            # Mosaic versions. The sliced-loop layout is the default.
-            batched=os.environ.get("TCDIFF_SAB_BATCHED", "0") == "1",
-            wsplit=wsplit,
-            # TCDIFF_SAB_BATCHED2: no-reshape batched-heads layout — the
-            # round-3 answer to the Mosaic shape-cast blocker (weights
-            # pre-shaped outside, batch-leading dot_generals inside).
-            batched2=batched2,
-            # TCDIFF_SAB_EXP2: softmax exponential via exp2 (see
-            # _softmax_rows) — measured A/B against lax.exp lowering.
-            exp2=os.environ.get("TCDIFF_SAB_EXP2", "0") == "1",
-        ),
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
-        cost_estimate=cost,
-        interpret=_interpret(),
-    )(*args)
+
+    def build(*a):
+        bl = a[0].shape[0]  # LOCAL batch when sharded over dp (kernel_shard)
+        return pl.pallas_call(
+            functools.partial(
+                _sa_block_kernel, nhead=nhead, dk=dk, scale=scale,
+                eps1=eps1, eps2=eps2, bias=bias, film=film,
+                # TCDIFF_SAB_BATCHED=1: all-heads batched attention layout
+                # (one (h, L, dk) relayout + 3-D contractions vs 8 sliced
+                # loops). Does NOT compile on current Mosaic — the lane-
+                # splitting reshape hits "infer-vector-layout: unsupported
+                # shape cast"; kept for interpret-mode comparison and future
+                # Mosaic versions. The sliced-loop layout is the default.
+                batched=os.environ.get("TCDIFF_SAB_BATCHED", "0") == "1",
+                wsplit=wsplit,
+                # TCDIFF_SAB_BATCHED2: no-reshape batched-heads layout — the
+                # round-3 answer to the Mosaic shape-cast blocker (weights
+                # pre-shaped outside, batch-leading dot_generals inside).
+                batched2=batched2,
+                # TCDIFF_SAB_EXP2: softmax exponential via exp2 (see
+                # _softmax_rows) — measured A/B against lax.exp lowering.
+                exp2=os.environ.get("TCDIFF_SAB_EXP2", "0") == "1",
+            ),
+            grid=(bl,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bl, L, d), x.dtype),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(*a)
+
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
+    flags = [True] + [False] * 10
+    if bias:
+        flags += [False, True]  # table replicated, trj_dist batch-leading
+    if film:
+        flags += [True, True]
+    return dp_shard(build, dp_kernel_mesh(mesh, b), tuple(flags), True)(*args)

@@ -400,11 +400,11 @@ def _specs(b, L, d, hd):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17)
+    jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18)
 )
 def fused_sa_block_train(
     x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-    film_scale, film_shift, seeds, nhead, rate, eps1, eps2,
+    film_scale, film_shift, seeds, nhead, rate, eps1, eps2, mesh=None,
 ):
     """Training-path SBIMSA block with fused Pallas fwd+bwd.
 
@@ -414,44 +414,59 @@ def fused_sa_block_train(
     per-batch-element dropout seeds. Returns
     x + (film_scale+1)*block(x) + film_shift, with dropout(rate) applied at
     the three reference sites when rate > 0.
+
+    mesh: optional (dp, tp) Mesh — when its dp axis divides b, the Pallas
+    programs run under shard_map with the batch sharded over dp and weight
+    grads psum'd (parallel/kernel_shard.py); otherwise GSPMD would
+    all-gather the custom call's operands.
     """
     return _fwd(
         x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-        film_scale, film_shift, seeds, nhead, rate, eps1, eps2,
+        film_scale, film_shift, seeds, nhead, rate, eps1, eps2, mesh,
     )[0]
 
 
 def _fwd(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-         film_scale, film_shift, seeds, nhead, rate, eps1, eps2):
-    b, L, d = x.shape
+         film_scale, film_shift, seeds, nhead, rate, eps1, eps2, mesh):
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
-    in_specs, bx, brow, _, _ = _specs(b, L, d, hd)
-    args = (
+
+    def build(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2, fs, fb, seeds):
+        b, L, d = x.shape  # LOCAL batch under shard_map
+        in_specs, bx, brow, _, _ = _specs(b, L, d, hd)
+        return pl.pallas_call(
+            functools.partial(
+                _sa_train_fwd_kernel, nhead=nhead, dk=dk, scale=scale,
+                eps1=eps1, eps2=eps2, rate=rate,
+            ),
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=bx,
+            out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+            interpret=_interpret(),
+        )(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2, fs, fb, seeds)
+
+    out = dp_shard(
+        build, dp_kernel_mesh(mesh, x.shape[0]),
+        batch_in=(True,) + (False,) * 10 + (True, True, True),
+        batch_out=True,
+    )(
         x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
         film_scale[:, None, :], film_shift[:, None, :], seeds,
     )
-    out = pl.pallas_call(
-        functools.partial(
-            _sa_train_fwd_kernel, nhead=nhead, dk=dk, scale=scale,
-            eps1=eps1, eps2=eps2, rate=rate,
-        ),
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=bx,
-        out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
-        interpret=_interpret(),
-    )(*args)
     res = (x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
            film_scale, film_shift, seeds)
     return out, res
 
 
-def _bwd(nhead, rate, eps1, eps2, res, g):
+def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
+    from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
+
     (x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
      film_scale, film_shift, seeds) = res
-    b, L, d = x.shape
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
@@ -459,87 +474,101 @@ def _bwd(nhead, rate, eps1, eps2, res, g):
     f32 = jnp.float32
     interp = _interpret()
 
-    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
-    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    bx = pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    brow = pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    seed_b = pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
-    # (b, nhead, L, dk) head arrays: all heads for a (b,)-grid program,
-    # one head for a (b, nhead)-grid program
-    heads_all = pl.BlockSpec((1, nhead, L, dk), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
-    head_one = pl.BlockSpec((1, 1, L, dk), lambda i, j: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
-    seed_bh = pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM)
-    hshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
+    def chain(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
+              film_scale, film_shift, seeds, g):
+        b, L, d = x.shape  # LOCAL batch under shard_map
 
-    # K1: LN1 -> rotary -> q/k/v per head
-    q, k, v = pl.pallas_call(
-        functools.partial(_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
-        grid=(b,),
-        in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
-                  mat(d, hd), mat(d, hd), mat(d, hd)],
-        out_specs=(heads_all, heads_all, heads_all),
-        out_shape=(hshape, hshape, hshape),
-        interpret=interp,
-    )(x, s1, b1, cos, ssin, wq, wk, wv)
+        vec = lambda n: pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
+        mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        bx = pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        brow = pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        seed_b = pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+        # (b, nhead, L, dk) head arrays: all heads for a (b,)-grid program,
+        # one head for a (b, nhead)-grid program
+        heads_all = pl.BlockSpec((1, nhead, L, dk), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        head_one = pl.BlockSpec((1, 1, L, dk), lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        seed_bh = pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM)
+        hshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
 
-    # K2: per-head forward attention outputs
-    o = pl.pallas_call(
-        functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
-        grid=(b, nhead),
-        in_specs=[head_one, head_one, head_one, seed_bh],
-        out_specs=head_one,
-        out_shape=hshape,
-        interpret=interp,
-    )(q, k, v, seeds)
+        # K1: LN1 -> rotary -> q/k/v per head
+        q, k, v = pl.pallas_call(
+            functools.partial(_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
+            grid=(b,),
+            in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
+                      mat(d, hd), mat(d, hd), mat(d, hd)],
+            out_specs=(heads_all, heads_all, heads_all),
+            out_shape=(hshape, hshape, hshape),
+            interpret=interp,
+        )(x, s1, b1, cos, ssin, wq, wk, wv)
 
-    # K3: chain-top forward recompute + backward down to do
-    do, dwfc, ds2, db2, dfs, dfb = pl.pallas_call(
-        functools.partial(_bwd_chain_top_kernel, nhead=nhead, dk=dk,
-                          eps2=eps2, rate=rate),
-        grid=(b,),
-        in_specs=[heads_all, mat(hd, d), vec(d), vec(d), brow, seed_b, bx],
-        out_specs=(heads_all, mat(hd, d), vec(d), vec(d), brow, brow),
-        out_shape=(
-            hshape,
-            jax.ShapeDtypeStruct((hd, d), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-            jax.ShapeDtypeStruct((b, 1, d), f32),
-            jax.ShapeDtypeStruct((b, 1, d), f32),
-        ),
-        interpret=interp,
-    )(o, wfc, s2, b2, film_scale[:, None, :], seeds, g)
+        # K2: per-head forward attention outputs
+        o = pl.pallas_call(
+            functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
+            grid=(b, nhead),
+            in_specs=[head_one, head_one, head_one, seed_bh],
+            out_specs=head_one,
+            out_shape=hshape,
+            interpret=interp,
+        )(q, k, v, seeds)
 
-    # K4: per-head attention backward
-    dqh, dkh, dvh = pl.pallas_call(
-        functools.partial(_bwd_attn_head_kernel, scale=scale, rate=rate),
-        grid=(b, nhead),
-        in_specs=[head_one, head_one, head_one, head_one, seed_bh],
-        out_specs=(head_one, head_one, head_one),
-        out_shape=(hshape, hshape, hshape),
-        interpret=interp,
-    )(q, k, v, do, seeds)
+        # K3: chain-top forward recompute + backward down to do
+        do, dwfc, ds2, db2, dfs, dfb = pl.pallas_call(
+            functools.partial(_bwd_chain_top_kernel, nhead=nhead, dk=dk,
+                              eps2=eps2, rate=rate),
+            grid=(b,),
+            in_specs=[heads_all, mat(hd, d), vec(d), vec(d), brow, seed_b, bx],
+            out_specs=(heads_all, mat(hd, d), vec(d), vec(d), brow, brow),
+            out_shape=(
+                hshape,
+                jax.ShapeDtypeStruct((hd, d), f32),
+                jax.ShapeDtypeStruct((d,), f32),
+                jax.ShapeDtypeStruct((d,), f32),
+                jax.ShapeDtypeStruct((b, 1, d), f32),
+                jax.ShapeDtypeStruct((b, 1, d), f32),
+            ),
+            interpret=interp,
+        )(o, wfc, s2, b2, film_scale[:, None, :], seeds, g)
 
-    # K5: projection grads, rotary transpose, LN1 backward, dx
-    dx, dwq, dwk, dwv, ds1, db1 = pl.pallas_call(
-        functools.partial(_bwd_proj_ln_kernel, nhead=nhead, eps1=eps1),
-        grid=(b,),
-        in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
-                  mat(d, hd), mat(d, hd), mat(d, hd),
-                  heads_all, heads_all, heads_all, bx],
-        out_specs=(bx, mat(d, hd), mat(d, hd), mat(d, hd), vec(d), vec(d)),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, L, d), x.dtype),
-            jax.ShapeDtypeStruct((d, hd), f32),
-            jax.ShapeDtypeStruct((d, hd), f32),
-            jax.ShapeDtypeStruct((d, hd), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-            jax.ShapeDtypeStruct((d,), f32),
-        ),
-        interpret=interp,
-    )(x, s1, b1, cos, ssin, wq, wk, wv, dqh, dkh, dvh, g)
+        # K4: per-head attention backward
+        dqh, dkh, dvh = pl.pallas_call(
+            functools.partial(_bwd_attn_head_kernel, scale=scale, rate=rate),
+            grid=(b, nhead),
+            in_specs=[head_one, head_one, head_one, head_one, seed_bh],
+            out_specs=(head_one, head_one, head_one),
+            out_shape=(hshape, hshape, hshape),
+            interpret=interp,
+        )(q, k, v, do, seeds)
+
+        # K5: projection grads, rotary transpose, LN1 backward, dx
+        dx, dwq, dwk, dwv, ds1, db1 = pl.pallas_call(
+            functools.partial(_bwd_proj_ln_kernel, nhead=nhead, eps1=eps1),
+            grid=(b,),
+            in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
+                      mat(d, hd), mat(d, hd), mat(d, hd),
+                      heads_all, heads_all, heads_all, bx],
+            out_specs=(bx, mat(d, hd), mat(d, hd), mat(d, hd), vec(d), vec(d)),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, L, d), x.dtype),
+                jax.ShapeDtypeStruct((d, hd), f32),
+                jax.ShapeDtypeStruct((d, hd), f32),
+                jax.ShapeDtypeStruct((d, hd), f32),
+                jax.ShapeDtypeStruct((d,), f32),
+                jax.ShapeDtypeStruct((d,), f32),
+            ),
+            interpret=interp,
+        )(x, s1, b1, cos, ssin, wq, wk, wv, dqh, dkh, dvh, g)
+        return dx, dwq, dwk, dwv, dwfc, ds1, db1, ds2, db2, dfs, dfb
+
+    dx, dwq, dwk, dwv, dwfc, ds1, db1, ds2, db2, dfs, dfb = dp_shard(
+        chain, dp_kernel_mesh(mesh, x.shape[0]),
+        batch_in=(True,) + (False,) * 10 + (True, True, True, True),
+        # weight grads are summed over the local batch inside the kernels
+        # -> psum over dp; dx/dfs/dfb stay batch-sharded
+        batch_out=(True,) + (False,) * 8 + (True, True),
+    )(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
+      film_scale, film_shift, seeds, g)
 
     dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
     return (

@@ -7,11 +7,15 @@ sees this cost because torch's foreach/fused optimizers batch the leaves
 (`/root/reference/model/adan.py:85-123` runs under torch's per-tensor loop,
 amortized by CUDA graphs on GPU). The TPU-native fix: ravel every leaf into
 ONE flat vector, do the elementwise math once (a single bandwidth-bound XLA
-fusion), and slice the results back into the per-leaf state layout — so
-checkpoint structure and per-leaf tensor-parallel shardings are untouched.
+fusion), and slice the results back into the per-leaf state layout — the
+checkpoint structure is untouched.
 
 Only valid when all leaves share a dtype (the math is elementwise-identical
-to the per-leaf form); callers fall back to per-leaf otherwise.
+to the per-leaf form); callers fall back to per-leaf otherwise. Under tp>1
+the leaves are Megatron-sharded and the concatenation would force them to
+be materialized as one replicated vector mid-step, so callers that know
+the mesh gate the flat form off there (ADVICE r3; orchestrator passes
+fused=False / flat_ema=False when tp > 1).
 """
 
 from __future__ import annotations

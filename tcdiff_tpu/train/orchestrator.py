@@ -139,15 +139,23 @@ class TCDiff:
     ):
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
-        self.model = DanceDecoder(cfg.model, dtype=dtype, remat=cfg.train.remat)
+        self.mesh = make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
+        self.model = DanceDecoder(
+            cfg.model, dtype=dtype, remat=cfg.train.remat,
+            # thread the mesh so opt-in fused TRAIN kernels shard their
+            # batch over dp via shard_map (parallel/kernel_shard.py)
+            mesh=self.mesh if self.mesh.shape.get("dp", 1) > 1 else None,
+        )
         self.diffusion = GaussianDiffusion(self.model, cfg.diffusion)
         self.tx = adan(
             cfg.train.learning_rate,
             betas=cfg.train.adan_betas,
             eps=cfg.train.adan_eps,
             weight_decay=cfg.train.weight_decay,
+            # flat-vector update concatenates every leaf; under tp>1 the
+            # leaves are Megatron-sharded, so stay per-leaf (ADVICE r3)
+            fused=False if cfg.train.tp > 1 else None,
         )
-        self.mesh = make_mesh(dp=cfg.train.dp, tp=cfg.train.tp)
         self.logger = get_logger()
         self.normalizer: Optional[Normalizer] = None
         self.use_ema_for_eval = use_ema_for_eval
@@ -315,7 +323,8 @@ class TCDiff:
 
         step_fn = jax.jit(
             make_train_step(
-                self.diffusion, self.tx, cfg.train.ema_beta, cfg.train.ema_interval
+                self.diffusion, self.tx, cfg.train.ema_beta, cfg.train.ema_interval,
+                flat_ema=cfg.train.tp <= 1,
             ),
             donate_argnums=0,
         )
@@ -686,7 +695,19 @@ class TCDiff:
             feats = np.concatenate([feats, np.repeat(feats[-1:], pad, axis=0)])
             starts = [0]
         else:
-            true_motion = (len(starts) - 1) * (seq // 2) + seq
+            covered = (len(starts) - 1) * (seq // 2) + seq
+            if true_motion > covered:
+                # multi-window mode keeps the reference's whole-window
+                # stitching, so audio past the last full 5 s window is
+                # dropped — say so instead of doing it silently (ADVICE r3;
+                # the short-audio path above already warns)
+                self.logger.warning(
+                    "%s: dropping %d trailing motion frames (%.2f s) past "
+                    "the last full window (%d of %d frames covered)",
+                    wav_path, true_motion - covered,
+                    (true_motion - covered) / 30.0, covered, true_motion,
+                )
+            true_motion = covered
         return feats, starts, true_motion
 
     @staticmethod

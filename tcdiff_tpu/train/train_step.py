@@ -32,11 +32,16 @@ def make_train_step(
     tx: optax.GradientTransformation,
     ema_beta: float = 0.9999,
     ema_interval: int = 1,
+    flat_ema: bool = True,
 ) -> Callable:
     """Returns train_step(state, x, cond, rng) -> (state, metrics).
 
     x: (B, dn, seq, 151) normalized motion; cond: (B, 301, 438).
     rng: a base key — folded with state.step so one key serves the whole run.
+    flat_ema: use the fused flat-vector EMA lerp (optim/flatten.py). Pass
+    False under tp>1 — concatenating tensor-parallel-sharded leaves into one
+    vector would force a mid-step gather (ADVICE r3); callers that know the
+    mesh gate this (orchestrator, dryrun).
     """
 
     def train_step(state: TrainState, x, cond, rng):
@@ -50,7 +55,7 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
 
         do_ema = (state.step % ema_interval) == 0
-        if homogeneous_dtype(state.ema_params):
+        if flat_ema and homogeneous_dtype(state.ema_params):
             # one flat fused lerp (see optim/flatten.py), elementwise-
             # identical to the per-leaf form
             fe = flat(state.ema_params)

@@ -57,6 +57,44 @@ def test_sharded_long_ddim_matches_unsharded(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_sharded_long_ddim_with_serving_kernels(setup, monkeypatch):
+    """Serving block kernels + threaded mesh: the Pallas call sites run
+    under shard_map over dp (parallel/kernel_shard.py, VERDICT r3 #4) and
+    the sharded long-DDIM still matches the unsharded kernels-ON result."""
+    cfg, _, params, tokens = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    for var in ("TCDIFF_PALLAS_SAB", "TCDIFF_PALLAS_FFB"):
+        monkeypatch.setenv(var, "1")
+    jax.clear_caches()
+
+    dcfg = DiffusionConfig(sampling_timesteps=4, n_timestep=10)
+    n_slices = 8
+    shape = (n_slices, tokens, cfg.nfeats)
+    rng = np.random.default_rng(0)
+    cond = jnp.asarray(
+        rng.normal(size=(n_slices, 2 * cfg.seq_len + 1, cfg.cond_feature_dim)).astype(np.float32)
+    )
+    noise = {
+        "init": rng.normal(size=shape).astype(np.float32),
+        "steps": rng.normal(size=(4,) + shape).astype(np.float32),
+    }
+    x_0 = jnp.asarray(rng.normal(size=(n_slices, tokens, 3)).astype(np.float32) * 0.2)
+
+    ref = GaussianDiffusion(DanceDecoder(cfg), dcfg).long_ddim_sample(
+        params, shape, cond, jax.random.key(1), x_0=x_0, noise=noise
+    )
+
+    mesh = make_mesh(dp=8, tp=1)
+    diff_m = GaussianDiffusion(DanceDecoder(cfg, mesh=mesh), dcfg)
+    out = diff_m.long_ddim_sample_sharded(
+        params, shape, cond, jax.random.key(1), mesh, x_0=x_0, noise=noise
+    )
+    assert not out.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    jax.clear_caches()
+
+
 def test_orchestrator_sample_shards_over_dp(setup):
     """Eval-loop sampling shards the batch over dp with identical results."""
     if len(jax.devices()) < 8:

@@ -1,0 +1,69 @@
+#!/bin/bash
+# Round-4 measurement campaign (fires automatically on axon recovery via
+# tools/outage_watch.sh). Order = value-per-minute under an uncertain
+# recovery window:
+#   1. headline reps8 (re-establish the driver-visible number, VERDICT r3 #3)
+#   2. train-kernel A/B (controls + SAB/FFB/XAB/ALL3 — decide defaults,
+#      VERDICT r3 #2; reference hot loop /root/reference/TCDiff.py:223-234)
+#   3. second headline session (robustness)
+#   4. forecast seed sweep (VERDICT r3 #6)
+# Each bench arm retries once after 120 s (transient UNAVAILABLE happens
+# at outage edges). A lock file keeps interactive work off the chip.
+set -u
+cd /root/repo
+out=${BENCH_CAMPAIGN_OUT:-/root/repo/.bench_r4_campaign.jsonl}
+: > "$out"
+touch /tmp/tpu_busy
+trap 'rm -f /tmp/tpu_busy' EXIT
+
+run() {
+  name=$1; shift
+  echo "### $name ($(date -u +%H:%M:%S))" >> "$out"
+  env "$@" timeout 2700 python bench.py >> "$out" 2>"/tmp/err_r4_${name// /_}.log" && return
+  sleep 120
+  echo "### $name (retry $(date -u +%H:%M:%S))" >> "$out"
+  env "$@" timeout 2700 python bench.py >> "$out" 2>"/tmp/err_r4_${name// /_}_retry.log"
+}
+
+# --- 1. headline, current defaults (KV_BATCH on), reps 8 ---
+run "headline reps8 session1" BENCH_REPS=8
+
+# --- 2. training-kernel A/B (batch 64 bf16; paired controls) ---
+run "train control A" BENCH_MODE=train BENCH_BATCH=64 BENCH_DTYPE=bf16
+run "TRAIN_ALL3" TCDIFF_TRAIN_SAB=1 TCDIFF_TRAIN_XAB=1 TCDIFF_TRAIN_FFB=1 BENCH_MODE=train BENCH_BATCH=64 BENCH_DTYPE=bf16 BENCH_PROFILE_DIR=/tmp/prof_r4_train_stack
+run "TRAIN_SAB" TCDIFF_TRAIN_SAB=1 BENCH_MODE=train BENCH_BATCH=64 BENCH_DTYPE=bf16
+run "TRAIN_FFB" TCDIFF_TRAIN_FFB=1 BENCH_MODE=train BENCH_BATCH=64 BENCH_DTYPE=bf16
+run "TRAIN_XAB" TCDIFF_TRAIN_XAB=1 BENCH_MODE=train BENCH_BATCH=64 BENCH_DTYPE=bf16
+run "train control B" BENCH_MODE=train BENCH_BATCH=64 BENCH_DTYPE=bf16
+
+# --- 2b. GSPMD evidence: kernels inside shard_map compile on real TPU ---
+echo "### aot sharded_train (kernels ON, shard_map) ($(date -u +%H:%M:%S))" >> "$out"
+timeout 2700 python tools/aot_checks.py sharded_train >> "$out" 2>/tmp/err_r4_aot.log
+
+# --- 3. headline robustness: second clean session ---
+run "headline reps8 session2" BENCH_REPS=8
+
+# --- 3b. whole-layer fused program (VERDICT r3 #5): VMEM gate, then A/B ---
+echo "### aot layer check ($(date -u +%H:%M:%S))" >> "$out"
+if timeout 2700 python tools/aot_checks.py layer >> "$out" 2>/tmp/err_r4_aot_layer.log \
+   && grep -q "layer FULL: COMPILE OK" "$out"; then
+  run "LAYER_FUSE full" TCDIFF_LAYER_FUSE=1 BENCH_REPS=6
+  run "LAYER_FUSE sa_ca" TCDIFF_LAYER_FUSE=1 TCDIFF_LAYER_FUSE_FF=0 BENCH_REPS=6
+  run "layer control" BENCH_REPS=6
+elif grep -q "layer SA+CA: COMPILE OK" "$out"; then
+  run "LAYER_FUSE sa_ca" TCDIFF_LAYER_FUSE=1 TCDIFF_LAYER_FUSE_FF=0 BENCH_REPS=6
+  run "layer control" BENCH_REPS=6
+fi
+
+# --- 4. forecast-quality seed sweep (one process shares compiles) ---
+echo "### forecast sweep seeds 0,1,2 dancers 3 ($(date -u +%H:%M:%S))" >> "$out"
+DYN_SEEDS=0,1,2 DYN_FORECAST_EVAL=2,3 DYN_SKIP_DBN=1 DYN_LOG=/root/repo/.dyn_r4_seeds.jsonl \
+  timeout 7200 python tools/train_dynamics.py >> "$out" 2>/tmp/err_r4_dyn1.log
+echo "### forecast sweep dancers 2 seed 0 ($(date -u +%H:%M:%S))" >> "$out"
+DYN_DANCERS=2 DYN_SEEDS=0 DYN_FORECAST_EVAL=2,3 DYN_SKIP_DBN=1 DYN_LOG=/root/repo/.dyn_r4_d2.jsonl \
+  timeout 5400 python tools/train_dynamics.py >> "$out" 2>/tmp/err_r4_dyn2.log
+echo "### forecast sweep longer-trained (1600 steps) seed 0 ($(date -u +%H:%M:%S))" >> "$out"
+DYN_STEPS=1600 DYN_SEEDS=0 DYN_FORECAST_EVAL=2,3 DYN_SKIP_DBN=1 DYN_LOG=/root/repo/.dyn_r4_long.jsonl \
+  timeout 5400 python tools/train_dynamics.py >> "$out" 2>/tmp/err_r4_dyn3.log
+
+echo "### DONE ($(date -u +%H:%M:%S))" >> "$out"
