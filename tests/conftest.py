@@ -27,6 +27,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# compiles are ~1.3 s each on this host; cache them across pytest runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/tcdiff_jax_cache")
+# compiles are ~1.3 s each on this host; cache them across pytest runs.
+# Fresh r4 dir: the old one holds AOT entries with mismatched machine
+# features and XLA logs a screenful of SIGILL warnings per load.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tcdiff_jax_cache_r4")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
