@@ -101,7 +101,9 @@ def check_sharded_train():
         jax.random.key(0),
     )
     tx = adan(5e-5, weight_decay=0.02)
-    state = jax.eval_shape(create_train_state, params, tx)
+    # tx must stay closed-over, not traced: its function leaves cannot be
+    # abstractified by eval_shape
+    state = jax.eval_shape(lambda p: create_train_state(p, tx), params)
     x = jax.ShapeDtypeStruct((batch, cfg.dancer_num, cfg.seq_len, cfg.nfeats), jnp.float32)
     cond = jax.ShapeDtypeStruct((batch, 301, cfg.cond_feature_dim), jnp.float32)
     key = jax.eval_shape(jax.random.key, 0)

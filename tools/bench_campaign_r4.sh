@@ -16,13 +16,19 @@ out=${BENCH_CAMPAIGN_OUT:-/root/repo/.bench_r4_campaign.jsonl}
 touch /tmp/tpu_busy
 trap 'rm -f /tmp/tpu_busy' EXIT
 
+# The campaign fires only AFTER the watcher confirmed recovery, so a hung
+# init here is a transient edge: cap bench.py's internal retry budget
+# (300 s + 60 s + 300 s ~ 11 min) to leave the 3600 s arm timeout enough
+# room for the 10-15 min cold axon compile on the success path.
 run() {
   name=$1; shift
   echo "### $name ($(date -u +%H:%M:%S))" >> "$out"
-  env "$@" timeout 2700 python bench.py >> "$out" 2>"/tmp/err_r4_${name// /_}.log" && return
+  env BENCH_INIT_TIMEOUT=300 BENCH_INIT_RETRIES=1 BENCH_INIT_BACKOFF=60 "$@" \
+    timeout 3600 python bench.py >> "$out" 2>"/tmp/err_r4_${name// /_}.log" && return
   sleep 120
   echo "### $name (retry $(date -u +%H:%M:%S))" >> "$out"
-  env "$@" timeout 2700 python bench.py >> "$out" 2>"/tmp/err_r4_${name// /_}_retry.log"
+  env BENCH_INIT_TIMEOUT=300 BENCH_INIT_RETRIES=1 BENCH_INIT_BACKOFF=60 "$@" \
+    timeout 3600 python bench.py >> "$out" 2>"/tmp/err_r4_${name// /_}_retry.log"
 }
 
 # --- 1. headline, current defaults (KV_BATCH on), reps 8 ---

@@ -10,7 +10,12 @@ cd /root/repo
 CAMPAIGN=${1:-tools/bench_campaign_r4.sh}
 LOG=/tmp/tpu_probe.log
 while true; do
-  if timeout 300 python -c "import jax; d=jax.devices(); print('TPU-OK', d)" >> "$LOG" 2>&1; then
+  # never put a probe (a full TPU client init) on the chip while a
+  # campaign or interactive bench owns it
+  if [ -e /tmp/tpu_busy ]; then sleep 480; continue; fi
+  # -k 30: a hung axon client init can ignore SIGTERM (observed 09:24
+  # 2026-08-18 — a 300 s probe wedged for 38+ min); SIGKILL backstop
+  if timeout -k 30 300 python -c "import jax; d=jax.devices(); print('TPU-OK', d)" >> "$LOG" 2>&1; then
     echo "RECOVERED $(date -u)" >> "$LOG"
     break
   fi
