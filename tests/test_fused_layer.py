@@ -32,8 +32,14 @@ def _setup():
     return model, params, x, cond, times
 
 
+@pytest.mark.parametrize("kv_batch", ["1", "0"])
 @pytest.mark.parametrize("ff_in_program", [True, False])
-def test_fused_layer_matches_default_forward(monkeypatch, ff_in_program):
+def test_fused_layer_matches_default_forward(monkeypatch, ff_in_program, kv_batch):
+    """kv_batch covers both cross-attention t-row sources: the stacked
+    all-layer einsum (kv_projected=True) and the per-layer projection the
+    call site performs itself (kv_projected=False)."""
+    monkeypatch.setenv("TCDIFF_KV_BATCH", kv_batch)
+    jax.clear_caches()
     model, params, x, cond, times = _setup()
     ref = model.apply({"params": params}, x, cond, times)
 
@@ -43,6 +49,7 @@ def test_fused_layer_matches_default_forward(monkeypatch, ff_in_program):
     got = model.apply({"params": params}, x, cond, times)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
     assert not np.allclose(np.asarray(got), 0.0)
+    jax.clear_caches()
 
 
 def test_fused_layer_in_guided_sampler_step(monkeypatch):
