@@ -56,6 +56,10 @@ if timeout 2700 python tools/aot_checks.py layer >> "$out" 2>/tmp/err_r4_aot_lay
   run "LAYER_FUSE full" TCDIFF_LAYER_FUSE=1 BENCH_REPS=6
   run "LAYER_FUSE sa_ca" TCDIFF_LAYER_FUSE=1 TCDIFF_LAYER_FUSE_FF=0 BENCH_REPS=6
   run "layer control" BENCH_REPS=6
+  # batch-1 slice denoising is where block fusion won 2-3x (BENCH_NOTES
+  # streaming table) - the whole-layer program may win bigger there
+  run "LAYER_FUSE stream" TCDIFF_LAYER_FUSE=1 BENCH_MODE=stream BENCH_REPS=10
+  run "stream control" BENCH_MODE=stream BENCH_REPS=10
 elif grep -q "layer SA+CA: COMPILE OK" "$out"; then
   run "LAYER_FUSE sa_ca" TCDIFF_LAYER_FUSE=1 TCDIFF_LAYER_FUSE_FF=0 BENCH_REPS=6
   run "layer control" BENCH_REPS=6
