@@ -350,6 +350,65 @@ def bench_stream_e2e():
     )
 
 
+_TPU_BUSY = "/tmp/tpu_busy"
+_TPU_WANTED = "/tmp/tpu_wanted"
+
+
+def _release_wanted():
+    try:
+        os.unlink(_TPU_WANTED)
+    except OSError:
+        pass
+
+
+def _chip_lock_coordination():
+    """Serialize with a running measurement campaign over the single chip.
+
+    tools/bench_campaign_r4.sh holds /tmp/tpu_busy while it owns the chip
+    and yields between arms when /tmp/tpu_wanted appears. A driver-fired
+    bench overlapping a campaign arm both distorts the arm (~15% measured
+    on this 1-core host, BENCH_NOTES) and risks a second concurrent axon
+    client. The campaign's own bench children set TCDIFF_BENCH_LOCK_OWNER=1
+    and skip this. The wanted marker is held until process exit so the
+    campaign cannot retake the chip mid-measurement; the campaign treats a
+    marker older than 120 min as stale (a crashed bench) and ignores it.
+    If the lock does not clear within BENCH_LOCK_WAIT seconds (default
+    2400 — campaign arms run 15-35 min), proceed anyway with a warning: a
+    possibly noisy number beats forfeiting the round's bench entirely.
+    """
+    import atexit
+    import sys
+
+    if os.environ.get("TCDIFF_BENCH_LOCK_OWNER"):
+        return
+    try:
+        with open(_TPU_WANTED, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        return
+    atexit.register(_release_wanted)
+    limit = float(os.environ.get("BENCH_LOCK_WAIT", "2400"))
+    t0 = time.time()
+    while os.path.exists(_TPU_BUSY):
+        waited = time.time() - t0
+        if waited >= limit:
+            print(
+                f"bench: campaign lock {_TPU_BUSY} still present after "
+                f"{waited:.0f}s; proceeding anyway (may overlap a campaign arm)",
+                file=sys.stderr,
+            )
+            break
+        print(
+            f"bench: waiting for the campaign to yield the chip ({waited:.0f}s)",
+            file=sys.stderr,
+        )
+        try:
+            os.utime(_TPU_WANTED)  # keep the marker fresh for the staleness check
+        except OSError:
+            pass
+        time.sleep(30)
+
+
 def _backend_watchdog():
     """Retry backend init with backoff; fail with a parseable JSON error.
 
@@ -400,10 +459,12 @@ def _backend_watchdog():
         "error": f"TPU backend init did not answer within {limit:.0f}s "
                  "after retries (axon outage — see BENCH_NOTES r3/r4)",
     }))
+    _release_wanted()  # os._exit skips atexit; don't stall a yielding campaign
     os._exit(2)
 
 
 def main():
+    _chip_lock_coordination()
     _backend_watchdog()
     mode = os.environ.get("BENCH_MODE", "sample")
     if mode == "train":

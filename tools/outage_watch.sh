@@ -11,8 +11,13 @@ CAMPAIGN=${1:-tools/bench_campaign_r4.sh}
 LOG=/tmp/tpu_probe.log
 while true; do
   # never put a probe (a full TPU client init) on the chip while a
-  # campaign or interactive bench owns it
+  # campaign or interactive bench owns it, or while a driver-fired bench
+  # is waiting/running (/tmp/tpu_wanted, see bench.py; markers older than
+  # 120 min are a crashed bench — ignore them)
   if [ -e /tmp/tpu_busy ]; then sleep 480; continue; fi
+  if [ -e /tmp/tpu_wanted ] && [ -z "$(find /tmp/tpu_wanted -mmin +120 2>/dev/null)" ]; then
+    sleep 480; continue
+  fi
   # -k 30: a hung axon client init can ignore SIGTERM (observed 09:24
   # 2026-08-18 — a 300 s probe wedged for 38+ min); SIGKILL backstop
   if timeout -k 30 300 python -c "import jax; d=jax.devices(); print('TPU-OK', d)" >> "$LOG" 2>&1; then
