@@ -3,8 +3,9 @@
 Usage: python tools/process_campaign.py [/root/repo/.bench_r4_campaign.jsonl]
 
 Prints a BENCH_NOTES-ready table: one row per arm with the metric value,
-MFU when reported, and the delta vs the nearest control arm of the same
-BENCH_MODE (arms named '*control*' / 'headline*' / 'layer control').
+MFU when reported, and the delta vs the mean of the control arms reporting
+the SAME metric string (arms named '*control*' or 'headline reps8 *'), so
+train / sample / stream arms each get a like-for-like reference.
 """
 
 import json
@@ -14,13 +15,16 @@ import sys
 def main(path="/root/repo/.bench_r4_campaign.jsonl"):
     rows = []  # (arm, dict | None)
     arm = None
+    skip_markers = ("DONE", "yielding chip", "chip reclaimed")
     with open(path) as f:
         for line in f:
             line = line.strip()
             if line.startswith("### "):
-                arm = line[4:].split(" (")[0]
-                if not line.startswith("### DONE"):
-                    rows.append([arm, None])
+                name = line[4:].split(" (")[0]
+                if any(m in name for m in skip_markers):
+                    continue
+                arm = name
+                rows.append([arm, None])
             elif line.startswith("{"):
                 try:
                     d = json.loads(line)
@@ -31,14 +35,15 @@ def main(path="/root/repo/.bench_r4_campaign.jsonl"):
                 else:
                     rows.append([arm or "?", d])
 
-    def is_train(d):
-        return d and "train" in str(d.get("metric", ""))
+    def is_control(name):
+        return "control" in name or name.startswith("headline reps8")
 
-    controls = {
-        True: [r for r in rows if r[1] and is_train(r[1]) and "control" in r[0]],
-        False: [r for r in rows if r[1] and not is_train(r[1])
-                and ("control" in r[0] or r[0].startswith("headline"))],
-    }
+    # mean control value per metric string — like-for-like references only
+    by_metric = {}
+    for name, d in rows:
+        if d and is_control(name) and d.get("value"):
+            by_metric.setdefault(d["metric"], []).append(d["value"])
+    ref_for = {m: sum(v) / len(v) for m, v in by_metric.items()}
 
     print(f"{'arm':34s} {'value':>10s} {'unit':24s} {'MFU':>7s} {'vs ctl':>8s}")
     for name, d in rows:
@@ -50,11 +55,7 @@ def main(path="/root/repo/.bench_r4_campaign.jsonl"):
             continue
         val = d.get("value")
         mfu = d.get("mfu_vs_v5e_bf16_peak")
-        ctl = controls[is_train(d)]
-        ref = None
-        if ctl:
-            vals = [c[1]["value"] for c in ctl if c[1].get("value")]
-            ref = sum(vals) / len(vals) if vals else None
+        ref = ref_for.get(d.get("metric"))
         delta = f"{(val / ref - 1) * 100:+.1f}%" if (ref and val) else ""
         print(
             f"{name:34s} {val if val is not None else '—':>10} "
