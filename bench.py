@@ -350,8 +350,10 @@ def bench_stream_e2e():
     )
 
 
-_TPU_BUSY = "/tmp/tpu_busy"
-_TPU_WANTED = "/tmp/tpu_wanted"
+# env-overridable so the protocol is testable against scratch paths
+# (tools/bench_campaign_r4.sh honors the same variables)
+_TPU_BUSY = os.environ.get("TPU_BUSY_LOCK", "/tmp/tpu_busy")
+_TPU_WANTED = os.environ.get("TPU_WANTED_MARK", "/tmp/tpu_wanted")
 
 
 def _release_wanted():

@@ -13,8 +13,12 @@ set -u
 cd /root/repo
 out=${BENCH_CAMPAIGN_OUT:-/root/repo/.bench_r4_campaign.jsonl}
 : > "$out"
-touch /tmp/tpu_busy
-trap 'rm -f /tmp/tpu_busy' EXIT
+# lock paths env-overridable for hermetic protocol tests (bench.py honors
+# the same variables)
+busy=${TPU_BUSY_LOCK:-/tmp/tpu_busy}
+wanted=${TPU_WANTED_MARK:-/tmp/tpu_wanted}
+touch "$busy"
+trap 'rm -f "$busy"' EXIT
 
 # The campaign fires only AFTER the watcher confirmed recovery, so a hung
 # init here is a transient edge: cap bench.py's internal retry budget
@@ -26,14 +30,14 @@ trap 'rm -f /tmp/tpu_busy' EXIT
 # _chip_lock_coordination). A marker older than 120 min is a crashed
 # bench — ignore it rather than stall the campaign forever.
 wanted_fresh() {
-  [ -e /tmp/tpu_wanted ] && [ -z "$(find /tmp/tpu_wanted -mmin +120 2>/dev/null)" ]
+  [ -e "$wanted" ] && [ -z "$(find "$wanted" -mmin +120 2>/dev/null)" ]
 }
 yield_chip() {
   if wanted_fresh; then
     echo "### yielding chip to driver bench ($(date -u +%H:%M:%S))" >> "$out"
-    rm -f /tmp/tpu_busy
-    while wanted_fresh; do sleep 60; done
-    touch /tmp/tpu_busy
+    rm -f "$busy"
+    while wanted_fresh; do sleep "${YIELD_POLL_S:-60}"; done
+    touch "$busy"
     echo "### chip reclaimed ($(date -u +%H:%M:%S))" >> "$out"
   fi
 }
