@@ -51,3 +51,48 @@ def test_busy_lock_with_zero_budget_proceeds(monkeypatch, tmp_path, capsys):
 def test_release_is_idempotent(monkeypatch, tmp_path):
     _patch_paths(monkeypatch, tmp_path)
     bench._release_wanted()  # no marker: must not raise
+
+
+def test_train_dynamics_yield(monkeypatch, tmp_path):
+    """The dynamics arm idles while a fresh bench marker exists, dropping
+    and restoring the campaign's busy lock around the idle window."""
+    import threading
+    import time as _time
+
+    import importlib
+    td = importlib.import_module("tools.train_dynamics")
+
+    marker = tmp_path / "wanted"
+    busy = tmp_path / "busy"
+    monkeypatch.setenv("TPU_WANTED_MARK", str(marker))
+    monkeypatch.setenv("TPU_BUSY_LOCK", str(busy))
+    monkeypatch.setenv("DYN_YIELD_POLL_S", "0.2")
+
+    # no marker: no-op, zero idle
+    busy.touch()
+    assert td._yield_to_driver_bench() == 0.0
+    assert busy.exists()
+
+    # stale marker (crashed bench): ignored
+    marker.touch()
+    old = _time.time() - 3 * 3600
+    import os as _os
+    _os.utime(marker, (old, old))
+    assert td._yield_to_driver_bench() == 0.0
+
+    # fresh marker: busy dropped while idling, restored after
+    marker.touch()
+    seen = {}
+
+    def finish_bench():
+        _time.sleep(0.8)
+        seen["busy_during"] = busy.exists()
+        marker.unlink()
+
+    t = threading.Thread(target=finish_bench)
+    t.start()
+    idled = td._yield_to_driver_bench()
+    t.join()
+    assert idled >= 0.8
+    assert seen["busy_during"] is False
+    assert busy.exists()

@@ -39,6 +39,45 @@ from tcdiff_tpu.optim import adan
 from tcdiff_tpu.parallel import make_mesh, replicated, shard_batch
 from tcdiff_tpu.train import create_train_state, make_train_step
 
+
+def _yield_to_driver_bench() -> float:
+    """Cooperative chip-sharing with a driver-fired bench.py.
+
+    The campaign's dynamics arms run up to 2 h inside one process, so the
+    shell-level yield (tools/bench_campaign_r4.sh yield_chip) can't help
+    mid-arm. When bench.py's wanted marker appears (and is fresher than
+    120 min — staleness rule shared with the campaign), idle the chip here:
+    drop the campaign's busy lock so the bench starts within one of its
+    30 s polls, wait for the bench to finish, restore the lock, resume.
+    Returns seconds idled so the caller can keep throughput timings honest.
+    """
+    marker = os.environ.get("TPU_WANTED_MARK", "/tmp/tpu_wanted")
+    busy = os.environ.get("TPU_BUSY_LOCK", "/tmp/tpu_busy")
+
+    def fresh():
+        try:
+            return time.time() - os.path.getmtime(marker) < 7200
+        except OSError:  # marker gone (bench exited) or being removed
+            return False
+
+    if not fresh():
+        return 0.0
+    t0 = time.perf_counter()
+    had_busy = os.path.exists(busy)
+    if had_busy:
+        try:
+            os.unlink(busy)
+        except OSError:
+            pass
+    print("train_dynamics: yielding chip to driver bench", file=sys.stderr)
+    poll = float(os.environ.get("DYN_YIELD_POLL_S", "30"))
+    while fresh():
+        time.sleep(poll)
+    if had_busy:
+        open(busy, "w").close()
+    print("train_dynamics: resuming after driver bench", file=sys.stderr)
+    return time.perf_counter() - t0
+
 LOG = os.environ.get("DYN_LOG", "/tmp/train_dynamics.jsonl")
 STEPS = int(os.environ.get("DYN_STEPS", "400"))
 BATCH = int(os.environ.get("DYN_BATCH", "32"))
@@ -157,6 +196,8 @@ def train_denoiser(log, seeds=None):
         first = last = None
         t0 = time.perf_counter()
         for i in range(STEPS):
+            if i % 100 == 0:
+                t0 += _yield_to_driver_bench()
             idx = rng.integers(0, N_DATA, size=BATCH)
             xs, cs = shard_batch(
                 (jnp.asarray(poses[idx]), jnp.asarray(music[idx])), mesh
