@@ -374,9 +374,13 @@ def _chip_lock_coordination():
     and skip this. The wanted marker is held until process exit so the
     campaign cannot retake the chip mid-measurement; the campaign treats a
     marker older than 120 min as stale (a crashed bench) and ignores it.
-    If the lock does not clear within BENCH_LOCK_WAIT seconds (default
-    2400 — campaign arms run 15-35 min), proceed anyway with a warning: a
-    possibly noisy number beats forfeiting the round's bench entirely.
+    If the lock does not clear within BENCH_LOCK_WAIT seconds, proceed
+    anyway with a warning: a possibly noisy number beats forfeiting the
+    round's bench entirely. Default 1200 s — dynamics arms yield within
+    ~2 min and only a mid-compile bench/AOT arm holds longer, while a
+    longer wait risks the DRIVER killing this process at its own budget
+    (an rc=124 records as a hard fail, worse than a distorted number —
+    see MULTICHIP_r03).
     """
     import atexit
     import sys
@@ -389,7 +393,7 @@ def _chip_lock_coordination():
     except OSError:
         return
     atexit.register(_release_wanted)
-    limit = float(os.environ.get("BENCH_LOCK_WAIT", "2400"))
+    limit = float(os.environ.get("BENCH_LOCK_WAIT", "1200"))
     t0 = time.time()
     while os.path.exists(_TPU_BUSY):
         waited = time.time() - t0
