@@ -81,3 +81,60 @@ def test_no_marker_is_a_noop(tmp_path, funcs):
     paths = _run('touch "$busy"\nYIELD_POLL_S=1\nyield_chip\n', tmp_path, funcs)
     assert paths["busy"].exists()
     assert paths["out"].read_text() == ""
+
+
+SHIM = """#!/bin/bash
+case "$1" in
+  bench.py)
+    mode=${BENCH_MODE:-sample}
+    if [ "$mode" = train ]; then
+      echo '{"metric": "train_steps/sec (batch 64, 3 dancers)", "value": 3.2, "unit": "steps/s", "vs_baseline": 1.0}'
+    elif [ "$mode" = stream ]; then
+      echo '{"metric": "streaming slice denoise", "value": 60.0, "unit": "ms/slice", "vs_baseline": 1.0}'
+    else
+      echo '{"metric": "sec_of_motion/sec/chip (50-step DDIM, 3 dancers)", "value": 180.0, "unit": "s_motion/s/chip", "vs_baseline": 36.0}'
+    fi
+    ;;
+  tools/aot_checks.py)
+    case "$2" in
+      sharded_train) echo "sharded_train: COMPILE OK";;
+      layer) echo "layer FULL: COMPILE OK";;
+    esac
+    ;;
+  tools/train_dynamics.py) echo '{"event": "summary"}';;
+  *) echo "unexpected: $*" >&2; exit 9;;
+esac
+"""
+
+
+def test_campaign_dry_run_control_flow(tmp_path):
+    """Execute the ENTIRE campaign script with a stubbed `python` on PATH:
+    every arm must fire in order, the layer A/B must open on its COMPILE OK
+    gate, and the busy lock must be cleaned up on exit. Catches bash-level
+    regressions without a chip (the recovery window is too precious to
+    debug shell bugs in)."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    shim = bindir / "python"
+    shim.write_text(SHIM)
+    shim.chmod(0o755)
+    out = tmp_path / "out.jsonl"
+    env = dict(
+        os.environ,
+        PATH=f"{bindir}:{os.environ['PATH']}",
+        BENCH_CAMPAIGN_OUT=str(out),
+        TPU_BUSY_LOCK=str(tmp_path / "busy"),
+        TPU_WANTED_MARK=str(tmp_path / "wanted"),
+    )
+    subprocess.run(["bash", CAMPAIGN], check=True, timeout=120, env=env)
+    arms = [
+        l[4:].split(" (")[0] for l in out.read_text().splitlines()
+        if l.startswith("### ")
+    ]
+    assert arms[0] == "headline reps8 session1"
+    assert arms[-1] == "DONE"
+    for needed in ("train control A", "TRAIN_ALL3", "train control B",
+                   "headline b16", "LAYER_FUSE full", "LAYER_FUSE stream",
+                   "stream control"):
+        assert needed in arms, needed
+    assert not (tmp_path / "busy").exists()
