@@ -10,6 +10,9 @@ from tcdiff_tpu.train.orchestrator import TCDiff
 
 
 def main(argv=None):
+    from tcdiff_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # TCDIFF_PLATFORM=cpu keeps a local run off the chip
     opt = parse_train_opt(argv)
     cfg = config_from_opt(opt)
     from tcdiff_tpu.utils import increment_path, maybe_init_multihost

@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from tcdiff_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # TCDIFF_PLATFORM=cpu keeps a local run off the chip
     opt = build_parser().parse_args(argv)
     cfg = TrajDecoderConfig(
         nfeats=opt.nfeats,

@@ -10,13 +10,19 @@ ran it unfused through XLA, whose backward re-materializes the (L, ff)
 hidden activations from HBM and runs every LayerNorm backward as a separate
 reduce fusion (30% of the step in the r3 train profile).
 
-Backward: one program per batch element recomputes the forward in VMEM
-(residuals are the kernel INPUTS — composes with jax.checkpoint for free)
-and emits dx plus all parameter grads. The scoped-VMEM discipline matches
-ops/fused_sa_block_train.py: parameter grads are accumulated into their
-output refs the moment they are computed (sequential-grid revisit trick),
-LN affine grads reduce to (d,) rows immediately, and LN3 internals are
-recomputed at the tail rather than held across the wide (L, ff) stage.
+Backward: one program per (batch element, row block) recomputes the forward
+for its rows in VMEM (residuals are the kernel INPUTS — composes with
+jax.checkpoint for free) and emits dx plus all parameter grads. The
+scoped-VMEM discipline matches ops/fused_sa_block_train.py: parameter grads
+are accumulated into their output refs the moment they are computed
+(sequential-grid revisit trick), LN affine grads reduce to (d,) rows
+immediately, and LN3 internals are recomputed at the tail rather than held
+across the wide (L, ff) stage. Row-blocking (grid (b, L//lblk), _row_block)
+exists because the real TPU toolchain measured the whole-L backward's stack
+at 21.71 MB vs the 16 MB scoped-VMEM limit at L=450/ff=1024 (r4 campaign
+arm TRAIN_ALL3) — every op in the chain is row-parallel, so only the grad
+accumulators see the extra revisits, and the dropout hash is re-keyed by
+the global row offset so masks stay bit-identical to the unblocked forward.
 
 Dropout masks are regenerated bit-identically in the backward from the same
 per-batch-element uint32 seed via the shared `_keep_mask` hash (two fresh
@@ -58,18 +64,20 @@ def _gelu_grad(u):
 
 
 def _ff_train_fwd_body(x, s3, b3, w1, bb1, w2, bb2, fs, fb, s4, b4, w3, bb3,
-                       seed, *, eps, rate):
+                       seed, *, eps, rate, row0=0):
     """Forward chain in f32 stats / compute-dtype MXU. Returns the final
-    output and the intermediates the backward re-derives cheaply."""
+    output and the intermediates the backward re-derives cheaply. `row0`
+    is the global index of x's first row (non-zero when the caller
+    row-blocks L) — the dropout hash stays global-position-keyed."""
     cd = w1.dtype
     xh3, _ = _ln_stats(x, eps)
     y = xh3 * s3.astype(jnp.float32) + b3.astype(jnp.float32)
     yc = y.astype(cd)
     u = jnp.dot(yc, w1, preferred_element_type=jnp.float32) + bb1.astype(jnp.float32)
-    ad = _drop(_gelu_exact(u), seed, _SALT_FF1, rate)
+    ad = _drop(_gelu_exact(u), seed, _SALT_FF1, rate, row0)
     adc = ad.astype(cd)
     z = jnp.dot(adc, w2, preferred_element_type=jnp.float32) + bb2.astype(jnp.float32)
-    zd = _drop(z, seed, _SALT_FF2, rate)
+    zd = _drop(z, seed, _SALT_FF2, rate, row0)
     x2 = x.astype(jnp.float32) + (fs + 1.0) * zd + fb
     xh4, rstd4 = _ln_stats(x2, eps)
     y4 = xh4 * s4.astype(jnp.float32) + b4.astype(jnp.float32)
@@ -97,19 +105,39 @@ def _ff_train_bwd_kernel(
     fs_ref, fb_ref, s4_ref, b4_ref, w3_ref, bb3_ref, seed_ref, g_ref,
     dx_ref, ds3_ref, db3_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref,
     dfs_ref, dfb_ref, ds4_ref, db4_ref, dw3_ref, dbb3_ref,
-    *, eps, rate,
+    *, eps, rate, lblk,
 ):
-    prog = pl.program_id(0)
-    seed = seed_ref[prog]
+    # grid (b, L//lblk): one program per (batch element, row block). Every
+    # op in this chain is row-parallel (LN is a per-row reduce over d), so
+    # row-blocking only changes how often the grad accumulators are
+    # revisited — the real TPU toolchain measured the unblocked program's
+    # stack at 21.71 MB vs the 16 MB scoped-VMEM limit at L=450 (r4 arm
+    # TRAIN_ALL3), and the footprint scales with lblk.
+    bi, lj = pl.program_id(0), pl.program_id(1)
+    seed = seed_ref[bi]
+    row0 = lj * lblk
     cd = w1_ref.dtype
-    x = x_ref[0]
+    x = x_ref[0, 0]
+    first = (bi == 0) & (lj == 0)
 
     def acc(ref, val):
-        @pl.when(prog == 0)
+        @pl.when(first)
         def _init():
             ref[...] = val
 
-        @pl.when(prog != 0)
+        @pl.when(jnp.logical_not(first))
+        def _add():
+            ref[...] += val
+
+    def acc_row(ref, val):
+        # per-batch-element FiLM grads: accumulate across this element's
+        # row blocks only (the (i, 0, 0) output block is flushed when bi
+        # advances)
+        @pl.when(lj == 0)
+        def _init():
+            ref[...] = val
+
+        @pl.when(lj != 0)
         def _add():
             ref[...] += val
 
@@ -118,9 +146,10 @@ def _ff_train_bwd_kernel(
         x, s3_ref[:], b3_ref[:], w1_ref[:], bb1_ref[:], w2_ref[:], bb2_ref[:],
         fs_ref[0].astype(jnp.float32), fb_ref[0].astype(jnp.float32),
         s4_ref[:], b4_ref[:], w3_ref[:], bb3_ref[:], seed, eps=eps, rate=rate,
+        row0=row0,
     )
 
-    g = g_ref[0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)
     gc = g.astype(cd)
 
     # tail: out = y4 @ w3 + bb3
@@ -137,9 +166,9 @@ def _ff_train_bwd_kernel(
 
     # FiLM: x2 = x + (fs+1)*zd + fb
     fs = fs_ref[0].astype(jnp.float32)
-    dfs_ref[0] = jnp.sum(dx2 * zd, axis=0, keepdims=True).astype(dfs_ref.dtype)
-    dfb_ref[0] = jnp.sum(dx2, axis=0, keepdims=True).astype(dfb_ref.dtype)
-    dz = _drop(dx2 * (fs + 1.0), seed, _SALT_FF2, rate)
+    acc_row(dfs_ref, jnp.sum(dx2 * zd, axis=0, keepdims=True)[None].astype(dfs_ref.dtype))
+    acc_row(dfb_ref, jnp.sum(dx2, axis=0, keepdims=True)[None].astype(dfb_ref.dtype))
+    dz = _drop(dx2 * (fs + 1.0), seed, _SALT_FF2, rate, row0)
 
     # linear2: z = ad @ w2 + bb2
     acc(dbb2_ref, jnp.sum(dz, axis=0))
@@ -152,7 +181,7 @@ def _ff_train_bwd_kernel(
     )
 
     # dropout1 + exact-GELU backward
-    du = _drop(dad, seed, _SALT_FF1, rate) * _gelu_grad(u)
+    du = _drop(dad, seed, _SALT_FF1, rate, row0) * _gelu_grad(u)
     acc(dbb1_ref, jnp.sum(du, axis=0))
     duc = du.astype(cd)
     acc(dw1_ref, jax.lax.dot_general(
@@ -168,7 +197,7 @@ def _ff_train_bwd_kernel(
     dxl, gs3, gb3 = _ln_bwd(dy, xh3_t, rstd3_t, s3_ref[:])
     acc(ds3_ref, jnp.sum(gs3, axis=0))
     acc(db3_ref, jnp.sum(gb3, axis=0))
-    dx_ref[0] = (dx2 + dxl).astype(dx_ref.dtype)  # residual + LN3 paths
+    dx_ref[0, 0] = (dx2 + dxl).astype(dx_ref.dtype)  # residual + LN3 paths
 
 
 def _specs(b, L, d, ff):
@@ -177,6 +206,45 @@ def _specs(b, L, d, ff):
     bx = pl.BlockSpec((1, L, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     brow = pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     seed = pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
+    in_specs = [
+        bx, vec(d), vec(d), mat(d, ff), vec(ff), mat(ff, d), vec(d),
+        brow, brow, vec(d), vec(d), mat(d, d), vec(d), seed,
+    ]
+    return in_specs, bx, brow, vec, mat
+
+
+def _row_block(L):
+    """Largest divisor of L at or below the row-block target (default 160
+    rows ~ 7 MB of f32 temporaries for the backward at ff=1024 — the
+    measured 21.71 MB / 16 MB overrun at L=450 scales with the block).
+    TCDIFF_FFB_LBLK overrides for sweeps; values not dividing L fall back
+    to the chooser."""
+    import os
+
+    want = int(os.environ.get("TCDIFF_FFB_LBLK", "160"))
+    if want >= L:
+        return L
+    for n in range(2, L + 1):
+        if L % n == 0 and L // n <= want:
+            return L // n
+    return 1
+
+
+def _bwd_specs(b, L, d, ff, lblk):
+    # 2-D (batch, row-block) grid twins of _specs: weight/affine grads are
+    # revisited every iteration (constant index map), FiLM row grads are
+    # revisited across one element's row blocks, x/g/dx stream (1, 1, lblk,
+    # d) tiles of their (b, L//lblk, lblk, d) reshape. The reshape exists
+    # because Mosaic requires a block's second-to-minor dim to be 8-aligned
+    # OR equal to the array dim — L=450 has no 8-aligned divisor, but after
+    # the (free, row-major) reshape the block IS the full (lblk, d) trailing
+    # extent, which takes the same masked path the unblocked forward uses
+    # for its 450-row blocks.
+    vec = lambda n: pl.BlockSpec((n,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    bx = pl.BlockSpec((1, 1, lblk, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    brow = pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM)
     in_specs = [
         bx, vec(d), vec(d), mat(d, ff), vec(ff), mat(ff, d), vec(d),
         brow, brow, vec(d), vec(d), mat(d, d), vec(d), seed,
@@ -244,7 +312,9 @@ def _bwd(rate, eps, mesh, res, g):
     def build(x, s3, b3, w1, bb1, w2, bb2, fs, fb, s4, b4, w3, bb3, seeds, g):
         b, L, d = x.shape  # LOCAL batch under shard_map
         ff = w1.shape[-1]
-        in_specs, bx, brow, vec, mat = _specs(b, L, d, ff)
+        lblk = _row_block(L)
+        nblk = L // lblk
+        in_specs, bx, brow, vec, mat = _bwd_specs(b, L, d, ff, lblk)
         in_specs = in_specs + [bx]  # cotangent
         out_specs = (
             bx,  # dx
@@ -255,7 +325,7 @@ def _bwd(rate, eps, mesh, res, g):
         )
         f32 = jnp.float32
         out_shape = (
-            jax.ShapeDtypeStruct((b, L, d), x.dtype),
+            jax.ShapeDtypeStruct((b, nblk, lblk, d), x.dtype),
             jax.ShapeDtypeStruct((d,), f32), jax.ShapeDtypeStruct((d,), f32),
             jax.ShapeDtypeStruct((d, ff), f32), jax.ShapeDtypeStruct((ff,), f32),
             jax.ShapeDtypeStruct((ff, d), f32), jax.ShapeDtypeStruct((d,), f32),
@@ -263,14 +333,16 @@ def _bwd(rate, eps, mesh, res, g):
             jax.ShapeDtypeStruct((d,), f32), jax.ShapeDtypeStruct((d,), f32),
             jax.ShapeDtypeStruct((d, d), f32), jax.ShapeDtypeStruct((d,), f32),
         )
-        return pl.pallas_call(
-            functools.partial(_ff_train_bwd_kernel, eps=eps, rate=rate),
-            grid=(b,),
+        outs = pl.pallas_call(
+            functools.partial(_ff_train_bwd_kernel, eps=eps, rate=rate, lblk=lblk),
+            grid=(b, nblk),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=_interpret(),
-        )(x, s3, b3, w1, bb1, w2, bb2, fs, fb, s4, b4, w3, bb3, seeds, g)
+        )(x.reshape(b, nblk, lblk, d), s3, b3, w1, bb1, w2, bb2, fs, fb,
+          s4, b4, w3, bb3, seeds, g.reshape(b, nblk, lblk, d))
+        return (outs[0].reshape(b, L, d),) + tuple(outs[1:])
 
     (dx, ds3, db3, dw1, dbb1, dw2, dbb2, dfs, dfb, ds4, db4, dw3, dbb3) = (
         dp_shard(

@@ -66,11 +66,17 @@ _SALT_FC = 0x200
 _SALT_OUT = 0x300
 
 
-def _keep_mask(seed, salt, shape, rate):
+def _keep_mask(seed, salt, shape, rate, row0=0):
     """Deterministic keep mask: murmur3-finalizer hash of (seed, salt,
     element index), keep iff hash >= rate * 2^32. Pure jnp on iota — the
-    same bits in the fwd kernel, the bwd kernel, and plain JAX (tests)."""
-    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    same bits in the fwd kernel, the bwd kernel, and plain JAX (tests).
+
+    `row0` is the GLOBAL index of the block's first row: a kernel that
+    row-blocks its (L, n) arrays (ops/fused_ff_block_train.py's backward)
+    passes `block_j * block_rows` so the hash stays a function of the
+    global element index — bit-identical to the unblocked forward and to
+    the pure-JAX test replicas."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = r * jnp.uint32(shape[1]) + c
     x = x ^ (seed.astype(jnp.uint32) + jnp.uint32(0x9E3779B9) * jnp.uint32(salt))
@@ -81,10 +87,10 @@ def _keep_mask(seed, salt, shape, rate):
     return x >= thresh
 
 
-def _drop(x, seed, salt, rate):
+def _drop(x, seed, salt, rate, row0=0):
     if rate == 0.0:
         return x
-    keep = _keep_mask(seed, salt, x.shape, rate)
+    keep = _keep_mask(seed, salt, x.shape, rate, row0)
     return jnp.where(keep, x * jnp.asarray(1.0 / (1.0 - rate), x.dtype), 0.0)
 
 

@@ -57,9 +57,13 @@ def test_train_ffb_matches_flax_rate0(env):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
 
 
-def test_train_ffb_grads_match_flax_rate0(env):
+@pytest.mark.parametrize("lblk", [None, "4"])
+def test_train_ffb_grads_match_flax_rate0(env, lblk):
     """rate=0: parameter AND input grads from the hand-written backward
-    match flax/XLA autodiff."""
+    match flax/XLA autodiff. lblk="4" forces the row-blocked backward
+    (L=16 -> 4 row blocks) that the full model takes at L=450."""
+    if lblk is not None:
+        env.setenv("TCDIFF_FFB_LBLK", lblk)
     model, params, io = _model_io(dropout=0.0)
 
     def loss(p, x):

@@ -13,6 +13,7 @@ finiteness/variability tests cannot see.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from tcdiff_tpu.ops.fused_sa_block_train import (
     _SALT_ATTN, _SALT_FC, _SALT_OUT, _drop,
@@ -108,7 +109,14 @@ def test_train_sab_rate_grads_match_pure_jax_replica():
         )
 
 
-def test_train_ffb_rate_grads_match_pure_jax_replica():
+@pytest.mark.parametrize("lblk", [None, "4"])
+def test_train_ffb_rate_grads_match_pure_jax_replica(monkeypatch, lblk):
+    # lblk="4" forces the row-blocked backward (grid (b, L//lblk)) that the
+    # full model hits at L=450 — the replica uses GLOBAL row indices in the
+    # dropout hash, so this pins the backward's row0 re-keying bit-exactly.
+    if lblk is not None:
+        monkeypatch.setenv("TCDIFF_FFB_LBLK", lblk)
+        jax.clear_caches()
     b, L, d, ff = 2, 12, 24, 48
     rate = 0.25
     rng = np.random.default_rng(1)
