@@ -104,22 +104,24 @@ def _ca_bwd_qkv_kernel(
         v_ref[0, i] = v[:, sl]
 
 
-def _ca_bwd_proj_kernel(
-    x_ref, mem_ref, s2_ref, b2_ref, cosx_ref, ssinx_ref, cosm_ref, ssinm_ref,
-    wq_ref, wk_ref, wv_ref, dqh_ref, dkh_ref, dvh_ref, g_ref,
-    dx_ref, dmem_ref, dwq_ref, dwk_ref, dwv_ref, ds2_ref, db2_ref,
-    *, nhead, eps1,
+def _ca_bwd_projx_kernel(
+    x_ref, s2_ref, b2_ref, cosx_ref, ssinx_ref, wq_ref, dqh_ref, g_ref,
+    dx_ref, dwq_ref, ds2_ref, db2_ref, *, nhead, eps1,
 ):
-    """K5x (grid b): projection/LN2/rotary backward on BOTH sides —
-    dx (x side, + FiLM residual g) and dmem (memory side)."""
+    """K5x-a (grid b): X-SIDE projection/rotary/LN2 backward + FiLM
+    residual. Split from the former both-sides kernel: on the real
+    toolchain the combined program's stack measured 16.65 MB vs the 16 MB
+    scoped-VMEM limit at L=450/Lm=152 (r4b arm TRAIN_SAB_XAB — borderline:
+    the identical kernel fit inside the ALL3 step's graph, so operand
+    staging alone tipped it). The x side alone is strictly smaller than
+    the SAB twin's chain-bottom kernel, which carries three head concats
+    through the same LN — known to fit with margin."""
     prog = pl.program_id(0)
     cd = wq_ref.dtype
     x = x_ref[0]
     s2 = s2_ref[:]
     cosx = cosx_ref[:].astype(jnp.float32)
     ssinx = ssinx_ref[:].astype(jnp.float32)
-    cosm = cosm_ref[:].astype(jnp.float32)
-    ssinm = ssinm_ref[:].astype(jnp.float32)
 
     def acc(ref, val):
         @pl.when(prog == 0)
@@ -133,20 +135,9 @@ def _ca_bwd_proj_kernel(
     xh, rstd = _ln_stats(x, eps1)
     h = xh * s2.astype(jnp.float32) + b2_ref[:].astype(jnp.float32)
     rc = _rot(h, cosx, ssinx).astype(cd)
-    mem = mem_ref[0].astype(jnp.float32)
-    rmc = _rot(mem, cosm, ssinm).astype(cd)
-    memc = mem.astype(cd)
-
     dqc = jnp.concatenate([dqh_ref[0, i] for i in range(nhead)], axis=-1)
-    dkc = jnp.concatenate([dkh_ref[0, i] for i in range(nhead)], axis=-1)
-    dvc = jnp.concatenate([dvh_ref[0, i] for i in range(nhead)], axis=-1)
-
     acc(dwq_ref, jax.lax.dot_general(
         rc, dqc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
-    acc(dwk_ref, jax.lax.dot_general(
-        rmc, dkc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
-    acc(dwv_ref, jax.lax.dot_general(
-        memc, dvc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
 
     # x side: q = rot_x(LN2(x)) @ wq
     dr = jax.lax.dot_general(
@@ -157,6 +148,39 @@ def _ca_bwd_proj_kernel(
     acc(ds2_ref, jnp.sum(gs, axis=0))
     acc(db2_ref, jnp.sum(gb, axis=0))
     dx_ref[0] = (g_ref[0].astype(jnp.float32) + dxl).astype(dx_ref.dtype)
+
+
+def _ca_bwd_projm_kernel(
+    mem_ref, cosm_ref, ssinm_ref, wk_ref, wv_ref, dkh_ref, dvh_ref,
+    dmem_ref, dwk_ref, dwv_ref, *, nhead,
+):
+    """K5x-b (grid b): MEMORY-SIDE k/v projection + rotary backward —
+    dmem feeds the cond encoder's gradients. Small: every (Lm, d) tensor
+    is ~3x narrower than the x side's (L, d)."""
+    prog = pl.program_id(0)
+    cd = wk_ref.dtype
+    cosm = cosm_ref[:].astype(jnp.float32)
+    ssinm = ssinm_ref[:].astype(jnp.float32)
+
+    def acc(ref, val):
+        @pl.when(prog == 0)
+        def _init():
+            ref[...] = val
+
+        @pl.when(prog != 0)
+        def _add():
+            ref[...] += val
+
+    mem = mem_ref[0].astype(jnp.float32)
+    rmc = _rot(mem, cosm, ssinm).astype(cd)
+    memc = mem.astype(cd)
+    dkc = jnp.concatenate([dkh_ref[0, i] for i in range(nhead)], axis=-1)
+    dvc = jnp.concatenate([dvh_ref[0, i] for i in range(nhead)], axis=-1)
+
+    acc(dwk_ref, jax.lax.dot_general(
+        rmc, dkc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+    acc(dwv_ref, jax.lax.dot_general(
+        memc, dvc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
 
     # memory side: k = rot_m(mem) @ wk, v = mem @ wv
     drm = jax.lax.dot_general(
@@ -322,26 +346,36 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
             interpret=interp,
         )(q, k, v, do, seeds)
 
-        # K5x: projection/rotary/LN2 backward on both sides
-        dx, dmem, dwq, dwk, dwv, ds2, db2 = pl.pallas_call(
-            functools.partial(_ca_bwd_proj_kernel, nhead=nhead, eps1=eps1),
+        # K5x-a: x-side projection/rotary/LN2 backward (+ FiLM residual)
+        dx, dwq, ds2, db2 = pl.pallas_call(
+            functools.partial(_ca_bwd_projx_kernel, nhead=nhead, eps1=eps1),
             grid=(b,),
-            in_specs=[bx, bm, vec(d), vec(d), mat(L, d), mat(L, d),
-                      mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd), mat(d, hd),
-                      heads_q, heads_kv, heads_kv, bx],
-            out_specs=(bx, bm, mat(d, hd), mat(d, hd), mat(d, hd), vec(d), vec(d)),
+            in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d), mat(d, hd),
+                      heads_q, bx],
+            out_specs=(bx, mat(d, hd), vec(d), vec(d)),
             out_shape=(
                 jax.ShapeDtypeStruct((b, L, d), x.dtype),
-                jax.ShapeDtypeStruct((b, Lm, d), mem.dtype),
-                jax.ShapeDtypeStruct((d, hd), f32),
-                jax.ShapeDtypeStruct((d, hd), f32),
                 jax.ShapeDtypeStruct((d, hd), f32),
                 jax.ShapeDtypeStruct((d,), f32),
                 jax.ShapeDtypeStruct((d,), f32),
             ),
             interpret=interp,
-        )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv,
-          dqh, dkh, dvh, g)
+        )(x, s2, b2, cosx, ssinx, wq, dqh, g)
+
+        # K5x-b: memory-side k/v projection + rotary backward
+        dmem, dwk, dwv = pl.pallas_call(
+            functools.partial(_ca_bwd_projm_kernel, nhead=nhead),
+            grid=(b,),
+            in_specs=[bm, mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd),
+                      heads_kv, heads_kv],
+            out_specs=(bm, mat(d, hd), mat(d, hd)),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, Lm, d), mem.dtype),
+                jax.ShapeDtypeStruct((d, hd), f32),
+                jax.ShapeDtypeStruct((d, hd), f32),
+            ),
+            interpret=interp,
+        )(mem, cosm, ssinm, wk, wv, dkh, dvh)
         return dx, dmem, dwq, dwk, dwv, dwfc, ds2, db2, dss, dsb, dfs, dfb
 
     (dx, dmem, dwq, dwk, dwv, dwfc, ds2, db2, dss, dsb, dfs, dfb) = dp_shard(

@@ -36,16 +36,24 @@ def _load_xspace(trace_dir: str):
 
 
 def _bucket(name: str) -> str:
-    n = name.lower()
-    if "fusion" in n and ("dot" in n or "conv" in n):
+    # Classify on the op's own name and kind token, NOT the full HLO text:
+    # the operand list embeds other ops' names (`custom-call(%copy-done.625,
+    # ...)`) which misread the r4 train-stack profile as "67.5% layout" when
+    # ~50% of the step was actually inside the Pallas train kernels. The op
+    # kind appears as ` <kind>(` between the result type and the operand
+    # list; operand references (`%copy-done.625`) never match ` <kind>(`.
+    lhs = name.split("=", 1)[0].lower()  # `%opname ` — fusion ops carry hints
+    if " custom-call(" in name:
+        return "custom-call (pallas)"
+    if "fusion" in lhs and ("dot" in lhs or "conv" in lhs):
         return "matmul-fusion"
     for key, b in (
         ("dot", "matmul"), ("softmax", "softmax"), ("reduce", "reduce/LN"),
         ("convert", "convert"), ("transpose", "layout"), ("copy", "layout"),
-        ("custom-call", "custom-call (pallas)"), ("scatter", "scatter"),
-        ("gather", "gather"), ("rsqrt", "reduce/LN"), ("erf", "gelu"),
+        ("scatter", "scatter"), ("gather", "gather"), ("rsqrt", "reduce/LN"),
+        ("erf", "gelu"), ("concatenate", "layout"),
     ):
-        if key in n:
+        if f" {key}(" in name or key in lhs:
             return b
     return "other"
 
