@@ -127,9 +127,12 @@ def bench_train():
     from tcdiff_tpu.parallel import make_mesh, replicated, shard_batch
     from tcdiff_tpu.train import create_train_state, make_train_step
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # defaults = the measured-best honest train config (BENCH_NOTES r4):
+    # batch 64 bf16 is what every decision arm ran; the Pallas train
+    # kernels (TPU default since r5) were measured at exactly this shape.
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     dancers = 3
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "f32") == "bf16" else jnp.float32
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
     cfg = DanceDecoderConfig(dancer_num=dancers)
     model = DanceDecoder(cfg, dtype=dtype, remat=os.environ.get("BENCH_REMAT", "0") == "1")
     diff = GaussianDiffusion(model, DiffusionConfig())
@@ -161,10 +164,25 @@ def bench_train():
             float(m["total"])
 
     reps = int(os.environ.get("BENCH_REPS", "10"))
+    # BENCH_SYNC_EVERY=1 fetches the loss scalar after every step — the
+    # pre-r5 behavior, kept as the continuity control. The default times
+    # the PIPELINED loop (dispatch all steps, sync once): a real training
+    # loop never blocks on the loss scalar each step, and the per-step
+    # fetch is a full round trip through the axon tunnel (the r4 stacked
+    # profile showed ~119 ms device vs ~164 ms wall per step — a ~27%
+    # host-sync gap that is measurement artifact, not training cost).
+    sync_every = os.environ.get("BENCH_SYNC_EVERY", "0") == "1"
     t0 = time.perf_counter()
     for _ in range(reps):
         state, m = step(state, xs, cs, key)
+        if sync_every:
+            float(m["total"])
+    if not sync_every:
+        # host-fetch scalars that depend on the LAST step's loss AND its
+        # optimizer update — block_until_ready alone does not reliably
+        # synchronize through the axon tunnel (see bench_sample)
         float(m["total"])
+        float(jnp.sum(jax.tree.leaves(state.params)[0]))
     dt = (time.perf_counter() - t0) / reps
     # anchor: measured train-step A100 extrapolation
     # (tools/measure_train_baseline.py); ratio to the plain reference, no 5x
@@ -482,7 +500,11 @@ def main():
     if mode == "stream_e2e":
         bench_stream_e2e()
         return
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # batch 16 is the measured-best serving config: 191.2/192.9 s-motion/s
+    # across two sessions (MFU 63%) vs the batch-8 181 band and batch-32's
+    # 187.4 (BENCH_NOTES r4). Per-request latency stays amortized-honest:
+    # the metric divides by the whole batch's wall time.
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     dancers = 3
     clip_seconds = 5.0
     compute_dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32

@@ -159,16 +159,17 @@ def _use_train_sab() -> bool:
     post-LN -> dropout -> FiLM residual) through one Pallas program with a
     hand-written flash-style backward (ops/fused_sa_block_train.py) — the
     train-step profile's largest bucket (XLA materializes the (b,h,L,L)
-    attention probabilities in HBM for the backward). Opt-in until the TPU
-    A/B lands. Dropout inside the kernel uses a hash-counter PRNG — a
-    different (identically-distributed) draw than flax's threefry, like
+    attention probabilities in HBM for the backward). Default ON on TPU:
+    solo +38% (4.14 vs 2.99 steps/s controls), and the full
+    SAB+XAB+FFB stack measured 6.11 steps/s / MFU 20.3% vs the 2.99 /
+    9.9% XLA control — +105% (BENCH_NOTES r4 campaign, arms TRAIN_SAB /
+    ALL3 FLAT_OPT0). Dropout inside the kernel uses a hash-counter PRNG —
+    a different (identically-distributed) draw than flax's threefry, like
     changing the seed. Training never passes trj_dist (TRPE applies only at
     sampling; the reference's train callsites never pass it,
     `/root/reference/model/model.py:446-540`), so the kernel omits the
     TRPE bias path."""
-    import os
-
-    return os.environ.get("TCDIFF_TRAIN_SAB", "0") == "1"
+    return _flag_default_on_tpu("TCDIFF_TRAIN_SAB")
 
 
 def _use_train_xab() -> bool:
@@ -176,11 +177,11 @@ def _use_train_xab() -> bool:
     (norm2 -> rotary -> q; rotary(memory) -> k; memory -> v -> attention ->
     dropout -> fc -> dropout -> post-LN -> dropout -> FiLM residual)
     through the fused custom-VJP program (ops/fused_ca_block_train.py),
-    including the memory cotangent for the cond encoder. Opt-in until the
-    TPU A/B lands; dropout PRNG caveat as _use_train_sab."""
-    import os
-
-    return os.environ.get("TCDIFF_TRAIN_XAB", "0") == "1"
+    including the memory cotangent for the cond encoder. Default ON on TPU
+    as part of the measured train-kernel stack (BENCH_NOTES r4: ALL3 6.11
+    steps/s vs 2.99 control; the XAB increment over SAB+FFB is what closed
+    the last ~15%); dropout PRNG caveat as _use_train_sab."""
+    return _flag_default_on_tpu("TCDIFF_TRAIN_XAB")
 
 
 def _use_train_ffb() -> bool:
@@ -189,11 +190,11 @@ def _use_train_ffb() -> bool:
     residual -> linear3(norm4)) through one Pallas program with a
     hand-written backward (ops/fused_ff_block_train.py). Targets the
     r3 train profile's LN-reduce bucket (30% of the step) and the (L, ff)
-    hidden-activation HBM round-trips in XLA's FF backward. Opt-in until
-    the TPU A/B lands; dropout PRNG caveat as _use_train_sab."""
-    import os
-
-    return os.environ.get("TCDIFF_TRAIN_FFB", "0") == "1"
+    hidden-activation HBM round-trips in XLA's FF backward. Default ON on
+    TPU: solo +8% (3.22 steps/s vs 2.99 control) and part of the ALL3
+    stack's 6.11 vs 2.99 (BENCH_NOTES r4); dropout PRNG caveat as
+    _use_train_sab."""
+    return _flag_default_on_tpu("TCDIFF_TRAIN_FFB")
 
 
 class _CAKV(nn.Module):

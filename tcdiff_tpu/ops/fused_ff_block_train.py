@@ -213,15 +213,20 @@ def _specs(b, L, d, ff):
     return in_specs, bx, brow, vec, mat
 
 
-def _row_block(L):
+def _row_block(L, env="TCDIFF_FFB_LBLK", default=160):
     """Largest divisor of L at or below the row-block target (default 160
     rows ~ 7 MB of f32 temporaries for the backward at ff=1024 — the
     measured 21.71 MB / 16 MB overrun at L=450 scales with the block).
-    TCDIFF_FFB_LBLK overrides for sweeps; values not dividing L fall back
-    to the chooser."""
+    The env var (TCDIFF_FFB_LBLK here; ops/fused_sa_block_train.py reuses
+    the chooser with TCDIFF_SAB_LBLK) overrides for sweeps; values not
+    dividing L fall back to the chooser. NOTE: the env is read at TRACE
+    time — a process that changes it after a shape has been traced must
+    `jax.clear_caches()` (the parity tests do; the bench campaigns run one
+    process per arm). Default kept at 160: the 225 bracket arm measured
+    SLOWER (5.53 vs 5.82 steps/s, BENCH_NOTES r4c)."""
     import os
 
-    want = int(os.environ.get("TCDIFF_FFB_LBLK", "160"))
+    want = int(os.environ.get(env, str(default)))
     if want >= L:
         return L
     for n in range(2, L + 1):

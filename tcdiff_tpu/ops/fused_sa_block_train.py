@@ -24,8 +24,13 @@ Backward: a flash-style FIVE-kernel split (see the comment block above
 `_bwd_qkv_kernel`) — residuals are just the kernel INPUTS (recompute
 recipe, composes with jax.checkpoint for free), per-head (L, L) work runs
 on a (b, nhead) grid so exactly one head's probability matrices exist per
-program, and weight gradients are accumulated across the sequential TPU
-grid by revisiting the same output block (init at program 0, add after).
+program, weight gradients are accumulated across the sequential TPU
+grid by revisiting the same output block (init at program 0, add after),
+and the K5 projection/LN1 stage additionally row-blocks L on a
+(b, L//lblk) grid (TCDIFF_SAB_LBLK, chooser shared with
+ops/fused_ff_block_train.py) — its whole-L form measured a 16.65 MB
+scoped stack vs the 16 MB limit when compiled next to the XLA FF
+backward (r4b arm TRAIN_SAB_XAB).
 A single-program backward does NOT fit the 16 MB scoped-VMEM stack at
 L=450 — Mosaic allocates the unrolled head loop's f32 temporaries without
 cross-iteration reuse (measured 32.6 MB, then 29.5 MB after liveness
@@ -343,21 +348,29 @@ def _bwd_proj_ln_kernel(x_ref, s1_ref, b1_ref, cos_ref, ssin_ref,
                         wq_ref, wk_ref, wv_ref, dqh_ref, dkh_ref, dvh_ref,
                         g_ref, dx_ref, dwq_ref, dwk_ref, dwv_ref,
                         ds1_ref, db1_ref, *, nhead, eps1):
-    """K5 (grid b): projection weight/activation grads (wide matmuls),
-    rotary transpose, LN1 backward, final dx."""
-    prog = pl.program_id(0)
+    """K5 (grid (b, L//lblk)): projection weight/activation grads (wide
+    matmuls), rotary transpose, LN1 backward, final dx — per ROW BLOCK.
+
+    Row-blocking (the ops/fused_ff_block_train.py recipe) exists because
+    the whole-L program measured a 16.65 MB scoped-VMEM stack vs the 16 MB
+    limit on the real toolchain at L=450/d=512 when compiled next to the
+    XLA FF backward (r4b arm TRAIN_SAB_XAB, twice) — every op in this
+    chain is row-parallel (LN1 is a per-row reduce over d), so blocking
+    only changes how often the weight-grad accumulators are revisited."""
+    bi, lj = pl.program_id(0), pl.program_id(1)
+    first = (bi == 0) & (lj == 0)
     cd = wq_ref.dtype
-    x = x_ref[0]
+    x = x_ref[0, 0]
     s1 = s1_ref[:]
-    cos32 = cos_ref[:].astype(jnp.float32)
-    ssin32 = ssin_ref[:].astype(jnp.float32)
+    cos32 = cos_ref[0].astype(jnp.float32)
+    ssin32 = ssin_ref[0].astype(jnp.float32)
 
     def acc(ref, val):
-        @pl.when(prog == 0)
+        @pl.when(first)
         def _init():
             ref[...] = val
 
-        @pl.when(prog != 0)
+        @pl.when(jnp.logical_not(first))
         def _add():
             ref[...] += val
 
@@ -365,9 +378,9 @@ def _bwd_proj_ln_kernel(x_ref, s1_ref, b1_ref, cos_ref, ssin_ref,
     y = xh1 * s1.astype(jnp.float32) + b1_ref[:].astype(jnp.float32)
     rc = _rot(y, cos32, ssin32).astype(cd)
     yc = y.astype(cd)
-    dqc = jnp.concatenate([dqh_ref[0, i] for i in range(nhead)], axis=-1)
-    dkc = jnp.concatenate([dkh_ref[0, i] for i in range(nhead)], axis=-1)
-    dvc = jnp.concatenate([dvh_ref[0, i] for i in range(nhead)], axis=-1)
+    dqc = jnp.concatenate([dqh_ref[0, i, 0] for i in range(nhead)], axis=-1)
+    dkc = jnp.concatenate([dkh_ref[0, i, 0] for i in range(nhead)], axis=-1)
+    dvc = jnp.concatenate([dvh_ref[0, i, 0] for i in range(nhead)], axis=-1)
     acc(dwq_ref, jax.lax.dot_general(
         rc, dqc, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32))
     acc(dwk_ref, jax.lax.dot_general(
@@ -385,8 +398,8 @@ def _bwd_proj_ln_kernel(x_ref, s1_ref, b1_ref, cos_ref, ssin_ref,
     dxl, gs1, gb1 = _ln_bwd(dy, xh1, rstd1, s1)
     acc(ds1_ref, jnp.sum(gs1, axis=0))
     acc(db1_ref, jnp.sum(gb1, axis=0))
-    g = g_ref[0].astype(jnp.float32)
-    dx_ref[0] = (g + dxl).astype(dx_ref.dtype)  # FiLM's direct residual path
+    g = g_ref[0, 0].astype(jnp.float32)
+    dx_ref[0, 0] = (g + dxl).astype(dx_ref.dtype)  # FiLM's direct residual path
 
 
 def _specs(b, L, d, hd):
@@ -547,16 +560,39 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
             interpret=interp,
         )(q, k, v, do, seeds)
 
-        # K5: projection grads, rotary transpose, LN1 backward, dx
+        # K5: projection grads, rotary transpose, LN1 backward, dx — on a
+        # (b, L//lblk) ROW-BLOCK grid: the whole-L program's scoped stack
+        # measured 16.65 MB vs the 16 MB limit on the real toolchain
+        # (r4b arm TRAIN_SAB_XAB; see _bwd_proj_ln_kernel). The reshapes
+        # are free (row-major) and exist because Mosaic wants a block's
+        # second-to-minor dim 8-aligned OR equal to the array dim — after
+        # reshaping, each block IS the full (lblk, ·) trailing extent.
+        from tcdiff_tpu.ops.fused_ff_block_train import _row_block
+
+        lblk = _row_block(L, env="TCDIFF_SAB_LBLK")
+        nblk = L // lblk
+        bx2 = pl.BlockSpec((1, 1, lblk, d), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+        cs2 = pl.BlockSpec((1, lblk, d), lambda i, j: (j, 0, 0),
+                           memory_space=pltpu.VMEM)
+        vec2 = lambda n: pl.BlockSpec((n,), lambda i, j: (0,),
+                                      memory_space=pltpu.VMEM)
+        mat2 = lambda r, c: pl.BlockSpec((r, c), lambda i, j: (0, 0),
+                                         memory_space=pltpu.VMEM)
+        heads2 = pl.BlockSpec((1, nhead, 1, lblk, dk),
+                              lambda i, j: (i, 0, j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        hs5 = lambda a: a.reshape(b, nhead, nblk, lblk, dk)
         dx, dwq, dwk, dwv, ds1, db1 = pl.pallas_call(
             functools.partial(_bwd_proj_ln_kernel, nhead=nhead, eps1=eps1),
-            grid=(b,),
-            in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
-                      mat(d, hd), mat(d, hd), mat(d, hd),
-                      heads_all, heads_all, heads_all, bx],
-            out_specs=(bx, mat(d, hd), mat(d, hd), mat(d, hd), vec(d), vec(d)),
+            grid=(b, nblk),
+            in_specs=[bx2, vec2(d), vec2(d), cs2, cs2,
+                      mat2(d, hd), mat2(d, hd), mat2(d, hd),
+                      heads2, heads2, heads2, bx2],
+            out_specs=(bx2, mat2(d, hd), mat2(d, hd), mat2(d, hd),
+                       vec2(d), vec2(d)),
             out_shape=(
-                jax.ShapeDtypeStruct((b, L, d), x.dtype),
+                jax.ShapeDtypeStruct((b, nblk, lblk, d), x.dtype),
                 jax.ShapeDtypeStruct((d, hd), f32),
                 jax.ShapeDtypeStruct((d, hd), f32),
                 jax.ShapeDtypeStruct((d, hd), f32),
@@ -564,8 +600,12 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
                 jax.ShapeDtypeStruct((d,), f32),
             ),
             interpret=interp,
-        )(x, s1, b1, cos, ssin, wq, wk, wv, dqh, dkh, dvh, g)
-        return dx, dwq, dwk, dwv, dwfc, ds1, db1, ds2, db2, dfs, dfb
+        )(x.reshape(b, nblk, lblk, d), s1, b1,
+          cos.reshape(nblk, lblk, d), ssin.reshape(nblk, lblk, d),
+          wq, wk, wv, hs5(dqh), hs5(dkh), hs5(dvh),
+          g.reshape(b, nblk, lblk, d))
+        return (dx.reshape(b, L, d), dwq, dwk, dwv, dwfc, ds1, db1,
+                ds2, db2, dfs, dfb)
 
     dx, dwq, dwk, dwv, dwfc, ds1, db1, ds2, db2, dfs, dfb = dp_shard(
         chain, dp_kernel_mesh(mesh, x.shape[0]),

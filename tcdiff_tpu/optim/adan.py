@@ -13,11 +13,17 @@ Semantics match the reference implementation
 The restart condition (`adan.py:111-116`) is not reproduced — the reference
 never passes one (`TCDiff.py:110` constructs Adan without it).
 
-By default the elementwise math runs over ONE raveled flat vector (see
-optim/flatten.py — a measured 27%-of-step win over per-leaf fusions) and the
-results are sliced back into the unchanged per-leaf state layout; set
-TCDIFF_FLAT_OPT=0 or pass fused=False for the per-leaf form (automatic when
-param dtypes are mixed). The two are elementwise-identical.
+The elementwise math can run over ONE raveled flat vector (see
+optim/flatten.py) with results sliced back into the unchanged per-leaf
+state layout; TCDIFF_FLAT_OPT=1/0 or fused=True/False forces either form
+(per-leaf is automatic when param dtypes are mixed). The two are
+elementwise-identical. The DEFAULT is backend-dependent, both directions
+measured (BENCH_NOTES r2/r4c): on the pure-XLA train step the flat form
+won 27% of the step, but under the fused Pallas train kernels (default ON
+on TPU since r5) the step is ~3x faster and the flat form's ravel/concat
+traffic LOST 5% absolute MFU (ALL3 FLAT_OPT0 6.114 steps/s vs 5.82/5.52
+with it). So: per-leaf on TPU (where the kernels are the default), flat
+elsewhere.
 """
 
 from __future__ import annotations
@@ -50,7 +56,13 @@ def adan(
 ) -> optax.GradientTransformation:
     b1, b2, b3 = betas
     if fused is None:
-        fused = os.environ.get("TCDIFF_FLAT_OPT", "1") == "1"
+        v = os.environ.get("TCDIFF_FLAT_OPT")
+        if v is not None:
+            fused = v == "1"
+        else:
+            # measured both ways (module docstring): flat wins on the XLA
+            # train path, loses under the TPU-default Pallas train kernels
+            fused = jax.default_backend() != "tpu"
 
     def init_fn(params):
         zeros = lambda: jax.tree.map(jnp.zeros_like, params)

@@ -43,7 +43,15 @@ def _swap_pairs(y):
     return y2[..., ::-1].reshape(y.shape)
 
 
-def test_train_sab_rate_grads_match_pure_jax_replica():
+@pytest.mark.parametrize("lblk", [None, "4"])
+def test_train_sab_rate_grads_match_pure_jax_replica(monkeypatch, lblk):
+    # lblk="4" forces the row-blocked K5 backward (grid (b, L//lblk)) the
+    # full model hits at L=450; K5 is dropout-free so the replica needs no
+    # row0 re-keying — the check is purely that blocked accumulation and
+    # blocked LN1/rotary backward reproduce the whole-L grads.
+    if lblk is not None:
+        monkeypatch.setenv("TCDIFF_SAB_LBLK", lblk)
+        jax.clear_caches()
     b, L, d, nhead = 2, 16, 32, 4
     dk = d // nhead
     rate = 0.3

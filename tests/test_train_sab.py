@@ -56,9 +56,15 @@ def test_train_sab_matches_flax_rate0(env):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
 
 
-def test_train_sab_grads_match_flax_rate0(env):
+@pytest.mark.parametrize("lblk", [None, "4"])
+def test_train_sab_grads_match_flax_rate0(env, lblk):
     """rate=0: parameter AND input grads from the hand-written backward
-    match flax/XLA autodiff."""
+    match flax/XLA autodiff. lblk="4" forces the row-blocked K5 backward
+    (grid (b, L//lblk)) that real shapes hit by default (L=450 > 160) —
+    the whole-L K5 measured a 16.65 MB scoped stack vs the 16 MB limit
+    on the real toolchain (r4b arm TRAIN_SAB_XAB)."""
+    if lblk is not None:
+        env.setenv("TCDIFF_SAB_LBLK", lblk)
     model, params, io = _model_io(dropout=0.0)
 
     def loss(p, x):

@@ -12,6 +12,18 @@ Usage (one mode per process; each cold axon client init is minutes):
   python tools/aot_checks.py layer          # whole-layer serving program
                                             # (ops/fused_layer.py) at real
                                             # shapes — the scoped-VMEM gate
+  python tools/aot_checks.py combos         # FULL train step at batch 64 for
+                                            # every TCDIFF_TRAIN_{SAB,XAB,FFB}
+                                            # combination a user can enable —
+                                            # scoped-VMEM demand depends on the
+                                            # XLA context AROUND a kernel, not
+                                            # just the kernel: SAB's K5 fit in
+                                            # the ALL3 module but OOM'd by
+                                            # 668 KB next to the XLA FF
+                                            # backward (r4b arm TRAIN_SAB_XAB)
+                                            # until it was row-blocked.
+                                            # AOT_COMBOS=SAB_XAB,FFB limits the
+                                            # sweep.
 
 `sharded_train` threads a mesh into the model with
 TCDIFF_KERNEL_SHARD_FORCE=1, so the Pallas programs lower inside
@@ -119,6 +131,74 @@ def check_sharded_train():
         sys.exit(1)
 
 
+def _combo_name(sab, xab, ffb):
+    on = [n for n, v in (("SAB", sab), ("XAB", xab), ("FFB", ffb)) if v]
+    return "_".join(on) if on else "NONE"
+
+
+def check_combos():
+    """Compile the FULL train step (batch 64 bf16, real widths, no mesh —
+    the exact single-chip bench configuration) once per train-kernel flag
+    combination. VERDICT r4 #3: the per-kernel check compiles each program
+    standalone at batch 2, but the toolchain's scoped-VMEM accounting also
+    depends on the surrounding module, so only whole-step compiles catch
+    combination regressions chiplessly."""
+    import jax
+    import jax.numpy as jnp
+
+    from tcdiff_tpu.config import DanceDecoderConfig, DiffusionConfig
+    from tcdiff_tpu.diffusion import GaussianDiffusion
+    from tcdiff_tpu.models import DanceDecoder
+    from tcdiff_tpu.optim import adan
+    from tcdiff_tpu.train import create_train_state, make_train_step
+
+    want = os.environ.get("AOT_COMBOS")
+    want = None if not want else set(want.split(","))
+    batch = int(os.environ.get("AOT_BATCH", "64"))
+    cfg = DanceDecoderConfig(dancer_num=3)
+    tokens = cfg.seq_len * cfg.dancer_num
+    params = jax.eval_shape(
+        lambda k: DanceDecoder(cfg, dtype=jnp.bfloat16).init(
+            k, jnp.zeros((1, tokens, cfg.nfeats)),
+            jnp.zeros((1, 301, cfg.cond_feature_dim)), jnp.zeros((1,), jnp.int32),
+        )["params"],
+        jax.random.key(0),
+    )
+    tx = adan(5e-5, weight_decay=0.02)
+    state = jax.eval_shape(lambda p: create_train_state(p, tx), params)
+    x = jax.ShapeDtypeStruct((batch, cfg.dancer_num, cfg.seq_len, cfg.nfeats), jnp.float32)
+    cond = jax.ShapeDtypeStruct((batch, 301, cfg.cond_feature_dim), jnp.float32)
+    key = jax.eval_shape(jax.random.key, 0)
+
+    failed = []
+    for sab in (1, 0):
+        for xab in (1, 0):
+            for ffb in (1, 0):
+                name = _combo_name(sab, xab, ffb)
+                if want is not None and name not in want:
+                    continue
+                os.environ["TCDIFF_TRAIN_SAB"] = str(sab)
+                os.environ["TCDIFF_TRAIN_XAB"] = str(xab)
+                os.environ["TCDIFF_TRAIN_FFB"] = str(ffb)
+                # flags are read at trace time inside model.apply — a fresh
+                # jit object per combo forces a fresh trace
+                model = DanceDecoder(cfg, dtype=jnp.bfloat16)
+                diff = GaussianDiffusion(model, DiffusionConfig())
+                step = make_train_step(diff, tx)
+                try:
+                    jax.jit(step, donate_argnums=0).lower(state, x, cond, key).compile()
+                    print(f"combo {name}: COMPILE OK", flush=True)
+                except Exception as e:
+                    failed.append(name)
+                    s = str(e)
+                    i = s.find("ERROR")
+                    print(f"combo {name} FAIL:",
+                          (s[i:i + 1200] if i >= 0 else s[-1200:]), flush=True)
+    if failed:
+        sys.exit(f"combos FAILED: {','.join(failed)}")
+    print("all requested combos: COMPILE OK", flush=True)
+
+
 def check_layer():
     import jax
     import jax.numpy as jnp
@@ -161,5 +241,7 @@ if __name__ == "__main__":
         check_sharded_train()
     elif mode == "layer":
         check_layer()
+    elif mode == "combos":
+        check_combos()
     else:
         sys.exit(f"unknown mode {mode!r}")

@@ -43,7 +43,10 @@ def _bucket(name: str) -> str:
     # kind appears as ` <kind>(` between the result type and the operand
     # list; operand references (`%copy-done.625`) never match ` <kind>(`.
     lhs = name.split("=", 1)[0].lower()  # `%opname ` — fusion ops carry hints
-    if " custom-call(" in name:
+    # ADVICE r4: also match bare-op-name events (`custom-call.123` with no
+    # `= kind(operands)` text) — checking the lhs is safe because operand
+    # references only appear right of the `=`.
+    if " custom-call(" in name or "custom-call" in lhs:
         return "custom-call (pallas)"
     if "fusion" in lhs and ("dot" in lhs or "conv" in lhs):
         return "matmul-fusion"
@@ -91,6 +94,16 @@ def main() -> None:
         print(f"-- top {top_n} ops:")
         for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:top_n]:
             print(f"  {d/total*100:5.1f}%  {d/1e9:8.3f} ms  {name[:90]}")
+        # per-bucket leaders: the overall top-N hides what "layout"/"other"
+        # are made of, which is exactly what a fusion attack needs to know
+        print("-- top ops per bucket:")
+        per = collections.defaultdict(list)
+        for name, d in durs.items():
+            per[_bucket(name)].append((d, name))
+        for b, items in sorted(per.items(), key=lambda kv: -sum(d for d, _ in kv[1])):
+            print(f"   [{b}]")
+            for d, name in sorted(items, reverse=True)[:6]:
+                print(f"     {d/total*100:5.1f}%  {d/1e9:8.3f} ms  {name[:100]}")
 
 
 if __name__ == "__main__":

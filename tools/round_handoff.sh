@@ -16,14 +16,22 @@ set -u
 cd /root/repo
 
 sid=$(cat /tmp/campaign.pid 2>/dev/null || true)
-if [ -n "${sid:-}" ] && ps -o sid= --sid "$sid" >/dev/null 2>&1; then
-  echo "handoff: stopping campaign session $sid"
+# ADVICE r4: a stale pid file + recycled sid would kill an unrelated session
+# group — verify the session leader's command line is actually a campaign
+# script before signalling, and consume the pid file either way.
+leader_cmd=$(ps -o cmd= -p "${sid:-0}" 2>/dev/null || true)
+if [ -n "${sid:-}" ] && ps -o sid= --sid "$sid" >/dev/null 2>&1 \
+   && printf '%s' "$leader_cmd" | grep -Eq 'bench_campaign|tpu_queue|outage_watch'; then
+  echo "handoff: stopping campaign session $sid ($leader_cmd)"
   # session-scoped kill: matches only processes started under the campaign's
   # setsid, never this shell or the agent harness
   pkill -TERM -s "$sid" 2>/dev/null
   sleep 8
   pkill -KILL -s "$sid" 2>/dev/null
+elif [ -n "${sid:-}" ]; then
+  echo "handoff: /tmp/campaign.pid sid=$sid is gone or not a campaign (cmd: ${leader_cmd:-none}) — skipping kill"
 fi
+rm -f /tmp/campaign.pid
 rm -f "${TPU_BUSY_LOCK:-/tmp/tpu_busy}"
 echo "handoff: chip lock cleared"
 
