@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tcdiff_tpu.ops.fused_sa_block_train import (
     _SALT_ATTN, _SALT_FC, _SALT_OUT,
     _bwd_attn_head_kernel, _bwd_chain_top_kernel, _bwd_ohead_kernel,
-    _drop, _head_probs, _ln_bwd, _ln_stats, _rot, _rot_t,
+    _drop, _head_probs, _ln_bwd, _ln_stats, _rot, _rot_t, _save_resid,
 )
 
 
@@ -65,6 +65,55 @@ def _ca_train_fwd_kernel(
             jnp.dot(pd, v[:, i * dk:(i + 1) * dk],
                     preferred_element_type=jnp.float32).astype(cd)
         )
+    o = jnp.concatenate(outs, axis=-1)
+    z2 = _drop(
+        jnp.dot(o, wfc_ref[:], preferred_element_type=jnp.float32),
+        seed, _SALT_FC, rate,
+    )
+    xh2, _ = _ln_stats(z2, eps2)
+    sa_d = _drop(
+        xh2 * sa_s_ref[:].astype(jnp.float32) + sa_b_ref[:].astype(jnp.float32),
+        seed, _SALT_OUT, rate,
+    )
+    out = (
+        x.astype(jnp.float32)
+        + (fs_ref[0].astype(jnp.float32) + 1.0) * sa_d
+        + fb_ref[0].astype(jnp.float32)
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _ca_train_fwd_save_kernel(
+    x_ref, mem_ref, s2_ref, b2_ref, cosx_ref, ssinx_ref, cosm_ref, ssinm_ref,
+    wq_ref, wk_ref, wv_ref, wfc_ref, sa_s_ref, sa_b_ref, fs_ref, fb_ref,
+    seed_ref, o_ref, qh_ref, kh_ref, vh_ref, oh_ref,
+    *, nhead, dk, scale, eps1, eps2, rate,
+):
+    """Forward twin that ALSO writes q (L-side) / k, v (memory-side) / o
+    (post-attention-dropout, L-side) per head as residuals
+    (TCDIFF_TRAIN_SAVE_RESID; ops/fused_sa_block_train.py::_save_resid) —
+    the backward then skips its K1x/K2 recompute programs."""
+    seed = seed_ref[pl.program_id(0)]
+    cd = wq_ref.dtype
+    x = x_ref[0]
+    xh, _ = _ln_stats(x, eps1)
+    h = xh * s2_ref[:].astype(jnp.float32) + b2_ref[:].astype(jnp.float32)
+    r = _rot(h, cosx_ref[:].astype(jnp.float32), ssinx_ref[:].astype(jnp.float32))
+    mem = mem_ref[0].astype(jnp.float32)
+    rm = _rot(mem, cosm_ref[:].astype(jnp.float32), ssinm_ref[:].astype(jnp.float32))
+    q = jnp.dot(r.astype(cd), wq_ref[:], preferred_element_type=jnp.float32).astype(cd)
+    k = jnp.dot(rm.astype(cd), wk_ref[:], preferred_element_type=jnp.float32).astype(cd)
+    v = jnp.dot(mem.astype(cd), wv_ref[:], preferred_element_type=jnp.float32).astype(cd)
+    outs = []
+    for i in range(nhead):
+        sl = slice(i * dk, (i + 1) * dk)
+        _, pd = _head_probs(q, k, i, dk, scale, seed, rate, cd)
+        oi = jnp.dot(pd, v[:, sl], preferred_element_type=jnp.float32).astype(cd)
+        outs.append(oi)
+        qh_ref[0, i] = q[:, sl]
+        kh_ref[0, i] = k[:, sl]
+        vh_ref[0, i] = v[:, sl]
+        oh_ref[0, i] = oi
     o = jnp.concatenate(outs, axis=-1)
     z2 = _drop(
         jnp.dot(o, wfc_ref[:], preferred_element_type=jnp.float32),
@@ -234,37 +283,61 @@ def _fwd(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
+    save = _save_resid()
+    cd = wq.dtype
 
     def build(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
               sa_s, sa_b, fs, fb, seeds):
         b, L, d = x.shape  # LOCAL batch under shard_map
         Lm = mem.shape[1]
         vec, mat, bx, bm, brow, seed_b = _common_specs(b, L, Lm, d, hd)
+        in_specs = [
+            bx, bm, vec(d), vec(d), mat(L, d), mat(L, d), mat(Lm, d), mat(Lm, d),
+            mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),
+            vec(d), vec(d), brow, brow, seed_b,
+        ]
+        if not save:
+            return pl.pallas_call(
+                functools.partial(
+                    _ca_train_fwd_kernel, nhead=nhead, dk=dk, scale=scale,
+                    eps1=eps1, eps2=eps2, rate=rate,
+                ),
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=bx,
+                out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+                interpret=_interpret(),
+            )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
+              sa_s, sa_b, fs, fb, seeds)
+        heads_q = pl.BlockSpec((1, nhead, L, dk), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        heads_kv = pl.BlockSpec((1, nhead, Lm, dk), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        qshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
+        kvshape = jax.ShapeDtypeStruct((b, nhead, Lm, dk), cd)
         return pl.pallas_call(
             functools.partial(
-                _ca_train_fwd_kernel, nhead=nhead, dk=dk, scale=scale,
+                _ca_train_fwd_save_kernel, nhead=nhead, dk=dk, scale=scale,
                 eps1=eps1, eps2=eps2, rate=rate,
             ),
             grid=(b,),
-            in_specs=[
-                bx, bm, vec(d), vec(d), mat(L, d), mat(L, d), mat(Lm, d), mat(Lm, d),
-                mat(d, hd), mat(d, hd), mat(d, hd), mat(hd, d),
-                vec(d), vec(d), brow, brow, seed_b,
-            ],
-            out_specs=bx,
-            out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+            in_specs=in_specs,
+            out_specs=(bx, heads_q, heads_kv, heads_kv, heads_q),
+            out_shape=(jax.ShapeDtypeStruct((b, L, d), x.dtype),
+                       qshape, kvshape, kvshape, qshape),
             interpret=_interpret(),
         )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
           sa_s, sa_b, fs, fb, seeds)
 
-    out = dp_shard(
+    outs = dp_shard(
         build, dp_kernel_mesh(mesh, x.shape[0]),
         batch_in=(True, True) + (False,) * 12 + (True, True, True),
-        batch_out=True,
+        batch_out=(True, True, True, True, True) if save else True,
     )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
       sa_s, sa_b, film_scale[:, None, :], film_shift[:, None, :], seeds)
+    out, qkvo = (outs[0], tuple(outs[1:])) if save else (outs, (None,) * 4)
     res = (x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
-           sa_s, sa_b, film_scale, film_shift, seeds)
+           sa_s, sa_b, film_scale, film_shift, seeds) + qkvo
     return out, res
 
 
@@ -272,7 +345,9 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
     from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
 
     (x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
-     sa_s, sa_b, film_scale, film_shift, seeds) = res
+     sa_s, sa_b, film_scale, film_shift, seeds,
+     q_sv, k_sv, v_sv, o_sv) = res
+    saved = q_sv is not None
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
@@ -281,7 +356,7 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
     interp = _interpret()
 
     def chain(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
-              sa_s, sa_b, film_scale, film_shift, seeds, g):
+              sa_s, sa_b, film_scale, film_shift, seeds, g, *qkvo_sv):
         b, L, d = x.shape  # LOCAL batch under shard_map
         Lm = mem.shape[1]
         vec, mat, bx, bm, brow, seed_b = _common_specs(b, L, Lm, d, hd)
@@ -297,26 +372,31 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
         qshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
         kvshape = jax.ShapeDtypeStruct((b, nhead, Lm, dk), cd)
 
-        # K1x: projections on both sides
-        q, k, v = pl.pallas_call(
-            functools.partial(_ca_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
-            grid=(b,),
-            in_specs=[bx, bm, vec(d), vec(d), mat(L, d), mat(L, d),
-                      mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd), mat(d, hd)],
-            out_specs=(heads_q, heads_kv, heads_kv),
-            out_shape=(qshape, kvshape, kvshape),
-            interpret=interp,
-        )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv)
+        if saved:
+            # K1x/K2 SKIPPED: q/k/v/o were written by the forward kernel
+            # (TCDIFF_TRAIN_SAVE_RESID; bit-identical values)
+            q, k, v, o = qkvo_sv
+        else:
+            # K1x: projections on both sides
+            q, k, v = pl.pallas_call(
+                functools.partial(_ca_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
+                grid=(b,),
+                in_specs=[bx, bm, vec(d), vec(d), mat(L, d), mat(L, d),
+                          mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd), mat(d, hd)],
+                out_specs=(heads_q, heads_kv, heads_kv),
+                out_shape=(qshape, kvshape, kvshape),
+                interpret=interp,
+            )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv)
 
-        # K2 (shared): per-head forward attention outputs
-        o = pl.pallas_call(
-            functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
-            grid=(b, nhead),
-            in_specs=[head_q1, head_kv1, head_kv1, seed_bh],
-            out_specs=head_q1,
-            out_shape=qshape,
-            interpret=interp,
-        )(q, k, v, seeds)
+            # K2 (shared): per-head forward attention outputs
+            o = pl.pallas_call(
+                functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
+                grid=(b, nhead),
+                in_specs=[head_q1, head_kv1, head_kv1, seed_bh],
+                out_specs=head_q1,
+                out_shape=qshape,
+                interpret=interp,
+            )(q, k, v, seeds)
 
         # K3 (shared): chain-top forward recompute + backward down to do
         do, dwfc, dss, dsb, dfs, dfb = pl.pallas_call(
@@ -378,13 +458,15 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
         )(mem, cosm, ssinm, wk, wv, dkh, dvh)
         return dx, dmem, dwq, dwk, dwv, dwfc, ds2, db2, dss, dsb, dfs, dfb
 
+    extra = (q_sv, k_sv, v_sv, o_sv) if saved else ()
     (dx, dmem, dwq, dwk, dwv, dwfc, ds2, db2, dss, dsb, dfs, dfb) = dp_shard(
         chain, dp_kernel_mesh(mesh, x.shape[0]),
-        batch_in=(True, True) + (False,) * 12 + (True, True, True, True),
+        batch_in=(True, True) + (False,) * 12 + (True, True, True, True)
+        + (True,) * len(extra),
         # weight/affine grads are local-batch sums -> psum over dp
         batch_out=(True, True) + (False,) * 8 + (True, True),
     )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
-      sa_s, sa_b, film_scale, film_shift, seeds, g)
+      sa_s, sa_b, film_scale, film_shift, seeds, g, *extra)
 
     dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
     return (

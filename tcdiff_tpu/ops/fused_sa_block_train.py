@@ -65,6 +65,22 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _save_resid() -> bool:
+    """TCDIFF_TRAIN_SAVE_RESID=1 makes the attention train forwards write
+    their q/k/v/o intermediates ((b, nhead, L, dk) in the compute dtype) to
+    HBM as custom-VJP residuals, so the backward SKIPS its K1
+    (LN->rotary->q/k/v recompute) and K2 (per-head attention-output
+    recompute) programs — pure recompute the r4 stacked profile prices at
+    ~1.8 ms/layer across SAB+XAB, vs ~0.3 ms/layer of extra HBM traffic
+    for the 4x29.5 MB saves at batch 64/L=450. The saved o is the
+    POST-attention-dropout value (same hash masks), so the backward math
+    is bit-identical either way. Opt-in until the on-chip A/B lands; read
+    at TRACE time (changing it mid-process needs jax.clear_caches())."""
+    import os
+
+    return os.environ.get("TCDIFF_TRAIN_SAVE_RESID", "0") == "1"
+
+
 # dropout-site salts (any distinct constants)
 _SALT_ATTN = 0x100  # + head index
 _SALT_FC = 0x200
@@ -200,6 +216,36 @@ def _sa_train_fwd_kernel(
         + fb_ref[0].astype(jnp.float32)
     )
     o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _sa_train_fwd_save_kernel(
+    x_ref, s1_ref, b1_ref, cos_ref, ssin_ref, wq_ref, wk_ref, wv_ref,
+    wfc_ref, s2_ref, b2_ref, fs_ref, fb_ref, seed_ref,
+    o_ref, qh_ref, kh_ref, vh_ref, oh_ref,
+    *, nhead, dk, scale, eps1, eps2, rate,
+):
+    """Forward twin that ALSO writes q/k/v/o per head as residuals
+    (TCDIFF_TRAIN_SAVE_RESID; see _save_resid) — the backward then skips
+    its K1/K2 recompute programs. `o` here is the post-attention-dropout
+    per-head output, exactly what K2 would recompute."""
+    seed = seed_ref[pl.program_id(0)]
+    sa_d, (rc, yc, q, k, v, o, xh1, rstd1, xh2, rstd2) = _fwd_body(
+        x_ref[0], s1_ref[:], b1_ref[:], cos_ref[:], ssin_ref[:],
+        wq_ref[:], wk_ref[:], wv_ref[:], wfc_ref[:], s2_ref[:], b2_ref[:],
+        seed, nhead=nhead, dk=dk, scale=scale, eps1=eps1, eps2=eps2, rate=rate,
+    )
+    out = (
+        x_ref[0].astype(jnp.float32)
+        + (fs_ref[0].astype(jnp.float32) + 1.0) * sa_d
+        + fb_ref[0].astype(jnp.float32)
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+    for i in range(nhead):
+        sl = slice(i * dk, (i + 1) * dk)
+        qh_ref[0, i] = q[:, sl]
+        kh_ref[0, i] = k[:, sl]
+        vh_ref[0, i] = v[:, sl]
+        oh_ref[0, i] = o[:, sl]
 
 
 # ---------------------------------------------------------------------------
@@ -452,32 +498,51 @@ def _fwd(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
+    save = _save_resid()
+    cd = wq.dtype
 
     def build(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2, fs, fb, seeds):
         b, L, d = x.shape  # LOCAL batch under shard_map
         in_specs, bx, brow, _, _ = _specs(b, L, d, hd)
+        if not save:
+            return pl.pallas_call(
+                functools.partial(
+                    _sa_train_fwd_kernel, nhead=nhead, dk=dk, scale=scale,
+                    eps1=eps1, eps2=eps2, rate=rate,
+                ),
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=bx,
+                out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+                interpret=_interpret(),
+            )(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2, fs, fb, seeds)
+        heads_all = pl.BlockSpec((1, nhead, L, dk), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        hshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
         return pl.pallas_call(
             functools.partial(
-                _sa_train_fwd_kernel, nhead=nhead, dk=dk, scale=scale,
+                _sa_train_fwd_save_kernel, nhead=nhead, dk=dk, scale=scale,
                 eps1=eps1, eps2=eps2, rate=rate,
             ),
             grid=(b,),
             in_specs=in_specs,
-            out_specs=bx,
-            out_shape=jax.ShapeDtypeStruct((b, L, d), x.dtype),
+            out_specs=(bx, heads_all, heads_all, heads_all, heads_all),
+            out_shape=(jax.ShapeDtypeStruct((b, L, d), x.dtype),
+                       hshape, hshape, hshape, hshape),
             interpret=_interpret(),
         )(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2, fs, fb, seeds)
 
-    out = dp_shard(
+    outs = dp_shard(
         build, dp_kernel_mesh(mesh, x.shape[0]),
         batch_in=(True,) + (False,) * 10 + (True, True, True),
-        batch_out=True,
+        batch_out=(True, True, True, True, True) if save else True,
     )(
         x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
         film_scale[:, None, :], film_shift[:, None, :], seeds,
     )
+    out, qkvo = (outs[0], tuple(outs[1:])) if save else (outs, (None,) * 4)
     res = (x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-           film_scale, film_shift, seeds)
+           film_scale, film_shift, seeds) + qkvo
     return out, res
 
 
@@ -485,7 +550,8 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
     from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
 
     (x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-     film_scale, film_shift, seeds) = res
+     film_scale, film_shift, seeds, q_sv, k_sv, v_sv, o_sv) = res
+    saved = q_sv is not None
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
@@ -494,7 +560,7 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
     interp = _interpret()
 
     def chain(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-              film_scale, film_shift, seeds, g):
+              film_scale, film_shift, seeds, g, *qkvo_sv):
         b, L, d = x.shape  # LOCAL batch under shard_map
 
         vec = lambda n: pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
@@ -511,26 +577,32 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
         seed_bh = pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM)
         hshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
 
-        # K1: LN1 -> rotary -> q/k/v per head
-        q, k, v = pl.pallas_call(
-            functools.partial(_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
-            grid=(b,),
-            in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
-                      mat(d, hd), mat(d, hd), mat(d, hd)],
-            out_specs=(heads_all, heads_all, heads_all),
-            out_shape=(hshape, hshape, hshape),
-            interpret=interp,
-        )(x, s1, b1, cos, ssin, wq, wk, wv)
+        if saved:
+            # K1/K2 SKIPPED: q/k/v/o were written by the forward kernel
+            # (TCDIFF_TRAIN_SAVE_RESID; bit-identical values — o is the
+            # post-attention-dropout per-head output)
+            q, k, v, o = qkvo_sv
+        else:
+            # K1: LN1 -> rotary -> q/k/v per head
+            q, k, v = pl.pallas_call(
+                functools.partial(_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
+                grid=(b,),
+                in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
+                          mat(d, hd), mat(d, hd), mat(d, hd)],
+                out_specs=(heads_all, heads_all, heads_all),
+                out_shape=(hshape, hshape, hshape),
+                interpret=interp,
+            )(x, s1, b1, cos, ssin, wq, wk, wv)
 
-        # K2: per-head forward attention outputs
-        o = pl.pallas_call(
-            functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
-            grid=(b, nhead),
-            in_specs=[head_one, head_one, head_one, seed_bh],
-            out_specs=head_one,
-            out_shape=hshape,
-            interpret=interp,
-        )(q, k, v, seeds)
+            # K2: per-head forward attention outputs
+            o = pl.pallas_call(
+                functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
+                grid=(b, nhead),
+                in_specs=[head_one, head_one, head_one, seed_bh],
+                out_specs=head_one,
+                out_shape=hshape,
+                interpret=interp,
+            )(q, k, v, seeds)
 
         # K3: chain-top forward recompute + backward down to do
         do, dwfc, ds2, db2, dfs, dfb = pl.pallas_call(
@@ -607,14 +679,16 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
         return (dx.reshape(b, L, d), dwq, dwk, dwv, dwfc, ds1, db1,
                 ds2, db2, dfs, dfb)
 
+    extra = (q_sv, k_sv, v_sv, o_sv) if saved else ()
     dx, dwq, dwk, dwv, dwfc, ds1, db1, ds2, db2, dfs, dfb = dp_shard(
         chain, dp_kernel_mesh(mesh, x.shape[0]),
-        batch_in=(True,) + (False,) * 10 + (True, True, True, True),
+        batch_in=(True,) + (False,) * 10 + (True, True, True, True)
+        + (True,) * len(extra),
         # weight grads are summed over the local batch inside the kernels
         # -> psum over dp; dx/dfs/dfb stay batch-sharded
         batch_out=(True,) + (False,) * 8 + (True, True),
     )(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-      film_scale, film_shift, seeds, g)
+      film_scale, film_shift, seeds, g, *extra)
 
     dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
     return (

@@ -43,14 +43,21 @@ def _swap_pairs(y):
     return y2[..., ::-1].reshape(y.shape)
 
 
-@pytest.mark.parametrize("lblk", [None, "4"])
-def test_train_sab_rate_grads_match_pure_jax_replica(monkeypatch, lblk):
+@pytest.mark.parametrize("lblk,save", [(None, None), ("4", None), (None, "1")])
+def test_train_sab_rate_grads_match_pure_jax_replica(monkeypatch, lblk, save):
     # lblk="4" forces the row-blocked K5 backward (grid (b, L//lblk)) the
     # full model hits at L=450; K5 is dropout-free so the replica needs no
     # row0 re-keying — the check is purely that blocked accumulation and
     # blocked LN1/rotary backward reproduce the whole-L grads.
+    # save="1" (TCDIFF_TRAIN_SAVE_RESID) makes the forward write q/k/v/o
+    # residuals and the backward skip its K1/K2 recompute programs — the
+    # masks and rounding points are identical, so rate>0 grads must still
+    # match the replica exactly.
     if lblk is not None:
         monkeypatch.setenv("TCDIFF_SAB_LBLK", lblk)
+        jax.clear_caches()
+    if save is not None:
+        monkeypatch.setenv("TCDIFF_TRAIN_SAVE_RESID", save)
         jax.clear_caches()
     b, L, d, nhead = 2, 16, 32, 4
     dk = d // nhead

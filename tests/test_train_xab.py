@@ -147,9 +147,16 @@ def test_all_three_train_kernels_stack_rate0(env):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
 
 
-def test_train_xab_rate_grads_match_pure_jax_replica():
+@pytest.mark.parametrize("save", [None, "1"])
+def test_train_xab_rate_grads_match_pure_jax_replica(monkeypatch, save):
     """rate>0: jax.grad of a plain-jnp replica (same hash masks) must match
-    the hand-written split backward — including dmem."""
+    the hand-written split backward — including dmem. save="1"
+    (TCDIFF_TRAIN_SAVE_RESID) makes the forward write q/k/v/o residuals
+    and the backward skip its K1x/K2 recompute programs; grads must be
+    unchanged (identical masks and rounding points)."""
+    if save is not None:
+        monkeypatch.setenv("TCDIFF_TRAIN_SAVE_RESID", save)
+        jax.clear_caches()
     from tcdiff_tpu.ops.fused_ca_block_train import fused_ca_block_train
     from tcdiff_tpu.ops.fused_sa_block_train import (
         _SALT_ATTN, _SALT_FC, _SALT_OUT, _drop, sa_train_tables,
