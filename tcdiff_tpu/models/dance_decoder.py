@@ -153,7 +153,22 @@ def _layer_fuse_ff() -> bool:
     return os.environ.get("TCDIFF_LAYER_FUSE_FF", "1") == "1"
 
 
-def _use_train_sab() -> bool:
+def _train_kernel_flag(name: str, mesh) -> bool:
+    """Default-ON-on-TPU gate for the TRAIN block kernels, with one extra
+    guard the serving kernels don't need: under a threaded mesh with tp>1
+    the shard_map wrap duplicates the kernel compute across tp peers
+    (parallel/kernel_shard.py module docstring — the kernels want whole-d
+    weights), so the DEFAULT yields to the XLA/Megatron path there. An
+    explicit env "1"/"0" still wins either way."""
+    import os
+
+    if os.environ.get(name) is None and mesh is not None and \
+            mesh.shape.get("tp", 1) > 1:
+        return False
+    return _flag_default_on_tpu(name)
+
+
+def _use_train_sab(mesh=None) -> bool:
     """TCDIFF_TRAIN_SAB=1 routes the TRAINING-path self-attention block
     (norm1 -> rotary -> q/k/v -> attention -> dropout -> fc -> dropout ->
     post-LN -> dropout -> FiLM residual) through one Pallas program with a
@@ -169,10 +184,10 @@ def _use_train_sab() -> bool:
     sampling; the reference's train callsites never pass it,
     `/root/reference/model/model.py:446-540`), so the kernel omits the
     TRPE bias path."""
-    return _flag_default_on_tpu("TCDIFF_TRAIN_SAB")
+    return _train_kernel_flag("TCDIFF_TRAIN_SAB", mesh)
 
 
-def _use_train_xab() -> bool:
+def _use_train_xab(mesh=None) -> bool:
     """TCDIFF_TRAIN_XAB=1 routes the TRAINING-path cross-attention block
     (norm2 -> rotary -> q; rotary(memory) -> k; memory -> v -> attention ->
     dropout -> fc -> dropout -> post-LN -> dropout -> FiLM residual)
@@ -181,10 +196,10 @@ def _use_train_xab() -> bool:
     as part of the measured train-kernel stack (BENCH_NOTES r4: ALL3 6.11
     steps/s vs 2.99 control; the XAB increment over SAB+FFB is what closed
     the last ~15%); dropout PRNG caveat as _use_train_sab."""
-    return _flag_default_on_tpu("TCDIFF_TRAIN_XAB")
+    return _train_kernel_flag("TCDIFF_TRAIN_XAB", mesh)
 
 
-def _use_train_ffb() -> bool:
+def _use_train_ffb(mesh=None) -> bool:
     """TCDIFF_TRAIN_FFB=1 routes the TRAINING-path FF block + layer tail
     (norm3 -> linear1 -> GELU -> dropout -> linear2 -> dropout -> FiLM
     residual -> linear3(norm4)) through one Pallas program with a
@@ -194,7 +209,7 @@ def _use_train_ffb() -> bool:
     TPU: solo +8% (3.22 steps/s vs 2.99 control) and part of the ALL3
     stack's 6.11 vs 2.99 (BENCH_NOTES r4); dropout PRNG caveat as
     _use_train_sab."""
-    return _flag_default_on_tpu("TCDIFF_TRAIN_FFB")
+    return _train_kernel_flag("TCDIFF_TRAIN_FFB", mesh)
 
 
 class _CAKV(nn.Module):
@@ -804,7 +819,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
                     x = jnp.concatenate([x, x], axis=0)
                     traj_emb = jnp.concatenate([traj_emb, traj_emb], axis=0)
                 x = x + featurewise_affine(sa, (fsc, fsh))
-        elif (not deterministic) and _use_train_sab() and trj_dist is None:
+        elif (not deterministic) and _use_train_sab(self.mesh) and trj_dist is None:
             # fused TRAIN self-attention block: custom-VJP Pallas program
             # (ops/fused_sa_block_train.py); params shared 1:1 with the
             # unfused flax path via the stand-in modules
@@ -894,7 +909,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
             else:
                 ca = fused_ca_block(*xab_args, nhead=self.n_head, mesh=self.mesh)
                 x = x + featurewise_affine(ca, (fsc2, fsh2))
-        elif (not deterministic) and _use_train_xab() and memory is not None:
+        elif (not deterministic) and _use_train_xab(self.mesh) and memory is not None:
             # fused TRAIN cross-attention block: custom-VJP Pallas program
             # (ops/fused_ca_block_train.py); params shared 1:1 with the
             # unfused flax path via the stand-in modules
@@ -976,7 +991,7 @@ class FiLMTransformerDecoderLayer(nn.Module):
                     eps=1e-5, mesh=self.mesh,
                 )
                 x = x + featurewise_affine(h, (fsc3, fsh3))
-        elif (not deterministic) and _use_train_ffb():
+        elif (not deterministic) and _use_train_ffb(self.mesh):
             # fused TRAIN FF block + tail: custom-VJP Pallas program
             # (ops/fused_ff_block_train.py); params shared 1:1 with the
             # unfused flax path via the stand-in modules

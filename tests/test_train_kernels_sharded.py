@@ -72,3 +72,29 @@ def test_train_step_sharded_equals_single_with_train_kernels(monkeypatch, thread
         ns_sharded.params, ns_single.params,
     )
     assert max(jax.tree.leaves(deltas)) < 1e-5
+
+
+def test_train_kernel_default_yields_to_megatron_at_tp_gt1(monkeypatch):
+    """The TPU default for the TRAIN kernels must NOT engage under a
+    threaded mesh with tp>1 — the shard_map wrap duplicates kernel compute
+    across tp peers (parallel/kernel_shard.py), so the default there is
+    the XLA/Megatron path. An explicit env "1" still forces the kernel
+    (what the dp4xtp2 equality test above relies on)."""
+    from tcdiff_tpu.models.dance_decoder import (
+        _use_train_ffb, _use_train_sab, _use_train_xab,
+    )
+
+    class FakeMesh:
+        def __init__(self, tp):
+            self.shape = {"dp": 2, "tp": tp}
+
+    for name, fn in (
+        ("TCDIFF_TRAIN_SAB", _use_train_sab),
+        ("TCDIFF_TRAIN_XAB", _use_train_xab),
+        ("TCDIFF_TRAIN_FFB", _use_train_ffb),
+    ):
+        monkeypatch.delenv(name, raising=False)
+        assert fn(FakeMesh(2)) is False
+        monkeypatch.setenv(name, "1")
+        assert fn(FakeMesh(2)) is True
+        monkeypatch.delenv(name, raising=False)
