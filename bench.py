@@ -164,14 +164,14 @@ def bench_train():
             float(m["total"])
 
     reps = int(os.environ.get("BENCH_REPS", "10"))
-    # BENCH_SYNC_EVERY=1 fetches the loss scalar after every step — the
-    # pre-r5 behavior, kept as the continuity control. The default times
-    # the PIPELINED loop (dispatch all steps, sync once): a real training
-    # loop never blocks on the loss scalar each step, and the per-step
-    # fetch is a full round trip through the axon tunnel (the r4 stacked
-    # profile showed ~119 ms device vs ~164 ms wall per step — a ~27%
-    # host-sync gap that is measurement artifact, not training cost).
-    sync_every = os.environ.get("BENCH_SYNC_EVERY", "0") == "1"
+    # BENCH_SYNC_EVERY=0 times the PIPELINED loop (dispatch all steps,
+    # sync once). MEASURED SLOWER through the axon tunnel than the
+    # per-step-sync loop it was meant to beat (5.693 vs 6.084 steps/s,
+    # r5 campaign arms "train defaults" vs "train defaults syncstep" —
+    # within-config session variance is ±5%, so at best neutral), so the
+    # per-step fetch stays the default: it is also the r3/r4 continuity
+    # methodology every historical number used.
+    sync_every = os.environ.get("BENCH_SYNC_EVERY", "1") == "1"
     t0 = time.perf_counter()
     for _ in range(reps):
         state, m = step(state, xs, cs, key)

@@ -44,6 +44,7 @@ run() {
 run "train SAVE_RESID" bench.py BENCH_MODE=train TCDIFF_TRAIN_SAVE_RESID=1
 run "train control" bench.py BENCH_MODE=train
 run "train SAVE_RESID b128" bench.py BENCH_MODE=train BENCH_BATCH=128 TCDIFF_TRAIN_SAVE_RESID=1
+run "train SAB_LBLK225" bench.py BENCH_MODE=train TCDIFF_SAB_LBLK=225
 run "train SAVE_RESID profiled" bench.py BENCH_MODE=train TCDIFF_TRAIN_SAVE_RESID=1 BENCH_PROFILE_DIR=/tmp/prof_r5_save_resid
 
 echo "### DONE ($(date -u +%H:%M:%S))" >> "$out"
