@@ -86,13 +86,15 @@ def _ca_train_fwd_kernel(
 def _ca_train_fwd_save_kernel(
     x_ref, mem_ref, s2_ref, b2_ref, cosx_ref, ssinx_ref, cosm_ref, ssinm_ref,
     wq_ref, wk_ref, wv_ref, wfc_ref, sa_s_ref, sa_b_ref, fs_ref, fb_ref,
-    seed_ref, o_ref, qh_ref, kh_ref, vh_ref, oh_ref,
+    seed_ref, o_ref, oh_ref,
     *, nhead, dk, scale, eps1, eps2, rate,
 ):
-    """Forward twin that ALSO writes q (L-side) / k, v (memory-side) / o
-    (post-attention-dropout, L-side) per head as residuals
+    """Forward twin that ALSO writes the per-head attention output o
+    (post-attention-dropout, L-side) as a residual
     (TCDIFF_TRAIN_SAVE_RESID; ops/fused_sa_block_train.py::_save_resid) —
-    the backward then skips its K1x/K2 recompute programs."""
+    the backward then skips its K2 recompute program. q/k/v stay
+    recomputed in K1x (the four-window save overflowed the SAB forward's
+    scoped stack; o-only keeps both forwards well inside it)."""
     seed = seed_ref[pl.program_id(0)]
     cd = wq_ref.dtype
     x = x_ref[0]
@@ -110,9 +112,6 @@ def _ca_train_fwd_save_kernel(
         _, pd = _head_probs(q, k, i, dk, scale, seed, rate, cd)
         oi = jnp.dot(pd, v[:, sl], preferred_element_type=jnp.float32).astype(cd)
         outs.append(oi)
-        qh_ref[0, i] = q[:, sl]
-        kh_ref[0, i] = k[:, sl]
-        vh_ref[0, i] = v[:, sl]
         oh_ref[0, i] = oi
     o = jnp.concatenate(outs, axis=-1)
     z2 = _drop(
@@ -311,10 +310,7 @@ def _fwd(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
               sa_s, sa_b, fs, fb, seeds)
         heads_q = pl.BlockSpec((1, nhead, L, dk), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
-        heads_kv = pl.BlockSpec((1, nhead, Lm, dk), lambda i: (i, 0, 0, 0),
-                                memory_space=pltpu.VMEM)
         qshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
-        kvshape = jax.ShapeDtypeStruct((b, nhead, Lm, dk), cd)
         return pl.pallas_call(
             functools.partial(
                 _ca_train_fwd_save_kernel, nhead=nhead, dk=dk, scale=scale,
@@ -322,9 +318,8 @@ def _fwd(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
             ),
             grid=(b,),
             in_specs=in_specs,
-            out_specs=(bx, heads_q, heads_kv, heads_kv, heads_q),
-            out_shape=(jax.ShapeDtypeStruct((b, L, d), x.dtype),
-                       qshape, kvshape, kvshape, qshape),
+            out_specs=(bx, heads_q),
+            out_shape=(jax.ShapeDtypeStruct((b, L, d), x.dtype), qshape),
             interpret=_interpret(),
         )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
           sa_s, sa_b, fs, fb, seeds)
@@ -332,12 +327,12 @@ def _fwd(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
     outs = dp_shard(
         build, dp_kernel_mesh(mesh, x.shape[0]),
         batch_in=(True, True) + (False,) * 12 + (True, True, True),
-        batch_out=(True, True, True, True, True) if save else True,
+        batch_out=(True, True) if save else True,
     )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
       sa_s, sa_b, film_scale[:, None, :], film_shift[:, None, :], seeds)
-    out, qkvo = (outs[0], tuple(outs[1:])) if save else (outs, (None,) * 4)
+    out, o_sv = (outs[0], outs[1]) if save else (outs, None)
     res = (x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
-           sa_s, sa_b, film_scale, film_shift, seeds) + qkvo
+           sa_s, sa_b, film_scale, film_shift, seeds, o_sv)
     return out, res
 
 
@@ -345,9 +340,8 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
     from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
 
     (x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
-     sa_s, sa_b, film_scale, film_shift, seeds,
-     q_sv, k_sv, v_sv, o_sv) = res
-    saved = q_sv is not None
+     sa_s, sa_b, film_scale, film_shift, seeds, o_sv) = res
+    saved = o_sv is not None
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
@@ -356,7 +350,7 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
     interp = _interpret()
 
     def chain(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv, wfc,
-              sa_s, sa_b, film_scale, film_shift, seeds, g, *qkvo_sv):
+              sa_s, sa_b, film_scale, film_shift, seeds, g, *o_saved):
         b, L, d = x.shape  # LOCAL batch under shard_map
         Lm = mem.shape[1]
         vec, mat, bx, bm, brow, seed_b = _common_specs(b, L, Lm, d, hd)
@@ -372,22 +366,23 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
         qshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
         kvshape = jax.ShapeDtypeStruct((b, nhead, Lm, dk), cd)
 
-        if saved:
-            # K1x/K2 SKIPPED: q/k/v/o were written by the forward kernel
-            # (TCDIFF_TRAIN_SAVE_RESID; bit-identical values)
-            q, k, v, o = qkvo_sv
-        else:
-            # K1x: projections on both sides
-            q, k, v = pl.pallas_call(
-                functools.partial(_ca_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
-                grid=(b,),
-                in_specs=[bx, bm, vec(d), vec(d), mat(L, d), mat(L, d),
-                          mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd), mat(d, hd)],
-                out_specs=(heads_q, heads_kv, heads_kv),
-                out_shape=(qshape, kvshape, kvshape),
-                interpret=interp,
-            )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv)
+        # K1x: projections on both sides (always recomputed — narrow
+        # matmuls; see ops/fused_sa_block_train.py::_save_resid)
+        q, k, v = pl.pallas_call(
+            functools.partial(_ca_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
+            grid=(b,),
+            in_specs=[bx, bm, vec(d), vec(d), mat(L, d), mat(L, d),
+                      mat(Lm, d), mat(Lm, d), mat(d, hd), mat(d, hd), mat(d, hd)],
+            out_specs=(heads_q, heads_kv, heads_kv),
+            out_shape=(qshape, kvshape, kvshape),
+            interpret=interp,
+        )(x, mem, s2, b2, cosx, ssinx, cosm, ssinm, wq, wk, wv)
 
+        if saved:
+            # K2 SKIPPED: o was written by the forward kernel
+            # (TCDIFF_TRAIN_SAVE_RESID; bit-identical values)
+            (o,) = o_saved
+        else:
             # K2 (shared): per-head forward attention outputs
             o = pl.pallas_call(
                 functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
@@ -458,7 +453,7 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
         )(mem, cosm, ssinm, wk, wv, dkh, dvh)
         return dx, dmem, dwq, dwk, dwv, dwfc, ds2, db2, dss, dsb, dfs, dfb
 
-    extra = (q_sv, k_sv, v_sv, o_sv) if saved else ()
+    extra = (o_sv,) if saved else ()
     (dx, dmem, dwq, dwk, dwv, dwfc, ds2, db2, dss, dsb, dfs, dfb) = dp_shard(
         chain, dp_kernel_mesh(mesh, x.shape[0]),
         batch_in=(True, True) + (False,) * 12 + (True, True, True, True)

@@ -67,15 +67,19 @@ def _interpret() -> bool:
 
 def _save_resid() -> bool:
     """TCDIFF_TRAIN_SAVE_RESID=1 makes the attention train forwards write
-    their q/k/v/o intermediates ((b, nhead, L, dk) in the compute dtype) to
-    HBM as custom-VJP residuals, so the backward SKIPS its K1
-    (LN->rotary->q/k/v recompute) and K2 (per-head attention-output
-    recompute) programs — pure recompute the r4 stacked profile prices at
-    ~1.8 ms/layer across SAB+XAB, vs ~0.3 ms/layer of extra HBM traffic
-    for the 4x29.5 MB saves at batch 64/L=450. The saved o is the
-    POST-attention-dropout value (same hash masks), so the backward math
-    is bit-identical either way. Opt-in until the on-chip A/B lands; read
-    at TRACE time (changing it mid-process needs jax.clear_caches())."""
+    their per-head attention OUTPUT o ((b, nhead, L, dk) in the compute
+    dtype, post-attention-dropout) to HBM as a custom-VJP residual, so the
+    backward SKIPS its K2 program — the per-head (L, L) attention
+    recompute, the expensive half of the backward's recompute budget
+    (~0.7 ms/layer across SAB+XAB in the r4 stacked profile) — for
+    ~0.07 ms/layer of extra HBM traffic at batch 64/L=450. K1 (LN ->
+    rotary -> q/k/v, three narrow matmuls) stays recomputed: a first
+    attempt saved q/k/v too and the FOUR extra output windows pushed the
+    forward kernel's scoped-VMEM stack to 16.10 MB vs the 16 MB limit on
+    the real toolchain (r5b arm "train SAVE_RESID", twice). The saved o
+    uses the same hash dropout masks, so backward math is bit-identical
+    either way. Opt-in until the on-chip A/B lands; read at TRACE time
+    (changing it mid-process needs jax.clear_caches())."""
     import os
 
     return os.environ.get("TCDIFF_TRAIN_SAVE_RESID", "0") == "1"
@@ -221,12 +225,12 @@ def _sa_train_fwd_kernel(
 def _sa_train_fwd_save_kernel(
     x_ref, s1_ref, b1_ref, cos_ref, ssin_ref, wq_ref, wk_ref, wv_ref,
     wfc_ref, s2_ref, b2_ref, fs_ref, fb_ref, seed_ref,
-    o_ref, qh_ref, kh_ref, vh_ref, oh_ref,
+    o_ref, oh_ref,
     *, nhead, dk, scale, eps1, eps2, rate,
 ):
-    """Forward twin that ALSO writes q/k/v/o per head as residuals
-    (TCDIFF_TRAIN_SAVE_RESID; see _save_resid) — the backward then skips
-    its K1/K2 recompute programs. `o` here is the post-attention-dropout
+    """Forward twin that ALSO writes the per-head attention output o as a
+    residual (TCDIFF_TRAIN_SAVE_RESID; see _save_resid) — the backward
+    then skips its K2 recompute program. `o` is the post-attention-dropout
     per-head output, exactly what K2 would recompute."""
     seed = seed_ref[pl.program_id(0)]
     sa_d, (rc, yc, q, k, v, o, xh1, rstd1, xh2, rstd2) = _fwd_body(
@@ -241,11 +245,7 @@ def _sa_train_fwd_save_kernel(
     )
     o_ref[0] = out.astype(o_ref.dtype)
     for i in range(nhead):
-        sl = slice(i * dk, (i + 1) * dk)
-        qh_ref[0, i] = q[:, sl]
-        kh_ref[0, i] = k[:, sl]
-        vh_ref[0, i] = v[:, sl]
-        oh_ref[0, i] = o[:, sl]
+        oh_ref[0, i] = o[:, i * dk:(i + 1) * dk]
 
 
 # ---------------------------------------------------------------------------
@@ -526,23 +526,22 @@ def _fwd(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
             ),
             grid=(b,),
             in_specs=in_specs,
-            out_specs=(bx, heads_all, heads_all, heads_all, heads_all),
-            out_shape=(jax.ShapeDtypeStruct((b, L, d), x.dtype),
-                       hshape, hshape, hshape, hshape),
+            out_specs=(bx, heads_all),
+            out_shape=(jax.ShapeDtypeStruct((b, L, d), x.dtype), hshape),
             interpret=_interpret(),
         )(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2, fs, fb, seeds)
 
     outs = dp_shard(
         build, dp_kernel_mesh(mesh, x.shape[0]),
         batch_in=(True,) + (False,) * 10 + (True, True, True),
-        batch_out=(True, True, True, True, True) if save else True,
+        batch_out=(True, True) if save else True,
     )(
         x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
         film_scale[:, None, :], film_shift[:, None, :], seeds,
     )
-    out, qkvo = (outs[0], tuple(outs[1:])) if save else (outs, (None,) * 4)
+    out, o_sv = (outs[0], outs[1]) if save else (outs, None)
     res = (x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-           film_scale, film_shift, seeds) + qkvo
+           film_scale, film_shift, seeds, o_sv)
     return out, res
 
 
@@ -550,8 +549,8 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
     from tcdiff_tpu.parallel.kernel_shard import dp_kernel_mesh, dp_shard
 
     (x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-     film_scale, film_shift, seeds, q_sv, k_sv, v_sv, o_sv) = res
-    saved = q_sv is not None
+     film_scale, film_shift, seeds, o_sv) = res
+    saved = o_sv is not None
     hd = wq.shape[-1]
     dk = hd // nhead
     scale = float(1.0 / (dk ** 0.5))
@@ -560,7 +559,7 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
     interp = _interpret()
 
     def chain(x, s1, b1, cos, ssin, wq, wk, wv, wfc, s2, b2,
-              film_scale, film_shift, seeds, g, *qkvo_sv):
+              film_scale, film_shift, seeds, g, *o_saved):
         b, L, d = x.shape  # LOCAL batch under shard_map
 
         vec = lambda n: pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM)
@@ -577,23 +576,25 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
         seed_bh = pl.BlockSpec((b,), lambda i, j: (0,), memory_space=pltpu.SMEM)
         hshape = jax.ShapeDtypeStruct((b, nhead, L, dk), cd)
 
-        if saved:
-            # K1/K2 SKIPPED: q/k/v/o were written by the forward kernel
-            # (TCDIFF_TRAIN_SAVE_RESID; bit-identical values — o is the
-            # post-attention-dropout per-head output)
-            q, k, v, o = qkvo_sv
-        else:
-            # K1: LN1 -> rotary -> q/k/v per head
-            q, k, v = pl.pallas_call(
-                functools.partial(_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
-                grid=(b,),
-                in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
-                          mat(d, hd), mat(d, hd), mat(d, hd)],
-                out_specs=(heads_all, heads_all, heads_all),
-                out_shape=(hshape, hshape, hshape),
-                interpret=interp,
-            )(x, s1, b1, cos, ssin, wq, wk, wv)
+        # K1: LN1 -> rotary -> q/k/v per head (three narrow matmuls —
+        # always recomputed; saving q/k/v overflowed the forward's scoped
+        # stack, see _save_resid)
+        q, k, v = pl.pallas_call(
+            functools.partial(_bwd_qkv_kernel, nhead=nhead, dk=dk, eps1=eps1),
+            grid=(b,),
+            in_specs=[bx, vec(d), vec(d), mat(L, d), mat(L, d),
+                      mat(d, hd), mat(d, hd), mat(d, hd)],
+            out_specs=(heads_all, heads_all, heads_all),
+            out_shape=(hshape, hshape, hshape),
+            interpret=interp,
+        )(x, s1, b1, cos, ssin, wq, wk, wv)
 
+        if saved:
+            # K2 SKIPPED: o was written by the forward kernel
+            # (TCDIFF_TRAIN_SAVE_RESID; bit-identical — o is the
+            # post-attention-dropout per-head output)
+            (o,) = o_saved
+        else:
             # K2: per-head forward attention outputs
             o = pl.pallas_call(
                 functools.partial(_bwd_ohead_kernel, scale=scale, rate=rate),
@@ -679,7 +680,7 @@ def _bwd(nhead, rate, eps1, eps2, mesh, res, g):
         return (dx.reshape(b, L, d), dwq, dwk, dwv, dwfc, ds1, db1,
                 ds2, db2, dfs, dfb)
 
-    extra = (q_sv, k_sv, v_sv, o_sv) if saved else ()
+    extra = (o_sv,) if saved else ()
     dx, dwq, dwk, dwv, dwfc, ds1, db1, ds2, db2, dfs, dfb = dp_shard(
         chain, dp_kernel_mesh(mesh, x.shape[0]),
         batch_in=(True,) + (False,) * 10 + (True, True, True, True)
