@@ -150,7 +150,11 @@ def bench_train():
     x = jnp.asarray(rng.normal(size=(batch, dancers, cfg.seq_len, cfg.nfeats)).astype(np.float32) * 0.3)
     cond = jnp.asarray(rng.normal(size=(batch, 301, cfg.cond_feature_dim)).astype(np.float32))
     xs, cs = shard_batch((x, cond), mesh)
-    step = jax.jit(make_train_step(diff, tx), donate_argnums=0)
+    # TCDIFF_FLAT_EMA=0 swaps the fused flat-vector EMA lerp for per-leaf
+    # lerps (A/B lever: the flat form's two ravel-concats are ~3.8 ms of
+    # the 113.7 ms kernel-stack step — r5 SAVE_RESID profile)
+    flat_ema = os.environ.get("TCDIFF_FLAT_EMA", "1") == "1"
+    step = jax.jit(make_train_step(diff, tx, flat_ema=flat_ema), donate_argnums=0)
     key = jax.device_put(jax.random.key(1), replicated(mesh))
 
     state, m = step(state, xs, cs, key)
