@@ -180,3 +180,27 @@ def test_remat_train_step_matches_no_remat():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
         grads[0], grads[1],
     )
+
+
+def test_flat_ema_matches_per_leaf():
+    """The fused flat-vector EMA lerp (optim/flatten.py) and the per-leaf
+    form are the same math — bench.py/tools/ab_train.py expose the choice
+    as TCDIFF_FLAT_EMA for on-chip A/Bs (the flat form's ravel-concats are
+    ~3.8 ms of the 113.7 ms kernel-stack train step, BENCH_NOTES r5), so
+    the equivalence must hold exactly."""
+    diff, state, _, x, cond = _setup(batch=4)
+    tx = adan(1e-4, weight_decay=0.02)
+    outs = []
+    for flat in (True, False):
+        st = state
+        step = jax.jit(make_train_step(diff, tx, ema_beta=0.9, flat_ema=flat))
+        for _ in range(3):
+            st, metrics = step(st, x, cond, jax.random.key(1))
+        outs.append((st, metrics))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        outs[0][0].ema_params, outs[1][0].ema_params,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[0][1]["total"]), np.asarray(outs[1][1]["total"])
+    )
