@@ -53,6 +53,12 @@ def main(path="/root/repo/.bench_r4_campaign.jsonl"):
         if d.get("metric") == "bench_error":
             print(f"{name:34s} {'ERROR':>10s}  {d.get('error', '')[:48]}")
             continue
+        if "ab_label" in d:  # tools/ab_train.py paired in-process configs
+            print(
+                f"{name:22s} [{d['ab_label']:>10s}] {d.get('steps_per_s', '—'):>9} steps/s"
+                f"  {d.get('samples_per_s', ''):>7} samples/s  b{d.get('batch', '?')}"
+            )
+            continue
         val = d.get("value")
         mfu = d.get("mfu_vs_v5e_bf16_peak")
         ref = ref_for.get(d.get("metric"))
