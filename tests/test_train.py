@@ -204,3 +204,58 @@ def test_flat_ema_matches_per_leaf():
     np.testing.assert_array_equal(
         np.asarray(outs[0][1]["total"]), np.asarray(outs[1][1]["total"])
     )
+
+
+def test_scan_of_steps_matches_sequential_dispatch():
+    """bench.py's BENCH_SCAN_STEPS wraps N train steps in one jitted
+    lax.scan (one dispatch per N steps — the per-step dispatch latency
+    through the axon tunnel is host overhead a production TPU host does
+    not pay). The scan must be step-for-step identical to N sequential
+    dispatches: rng folds with state.step which advances inside the scan.
+    Same math, not bit-equal: the scan body is a different XLA program
+    than the top-level jit, so fusion choices (and f32 rounding) differ.
+    The optimizer here is SGD, not Adan — Adan's n = EMA[(g+(1-b2)dg)^2]
+    denominator can nearly cancel elementwise, turning rounding noise
+    into O(1) chaotic divergence on single elements (observed on a
+    cond-encoder LN scale), which says nothing about the scan harness.
+    SGD's update is Lipschitz in the grads, so tight allclose is valid."""
+    import optax
+    from jax import lax
+
+    diff, state, _, x, cond = _setup(batch=4)
+    tx = optax.sgd(1e-3)
+    state = create_train_state(state.params, tx)
+    inner = make_train_step(diff, tx, ema_beta=0.9)
+    key = jax.random.key(1)
+
+    st_seq = state
+    seq_step = jax.jit(inner)
+    totals_seq = []
+    for _ in range(3):
+        st_seq, m = seq_step(st_seq, x, cond, key)
+        totals_seq.append(float(m["total"]))
+
+    def multi(st, xs_, cs_, key_):
+        def body(s, _):
+            s2, metrics = inner(s, xs_, cs_, key_)
+            return s2, metrics["total"]
+
+        return lax.scan(body, st, None, length=3)
+
+    st_scan, totals_scan = jax.jit(multi)(state, x, cond, key)
+
+    np.testing.assert_allclose(
+        np.asarray(totals_scan), np.asarray(totals_seq, dtype=np.float32), rtol=5e-3
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        ),
+        st_seq.params, st_scan.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        ),
+        st_seq.ema_params, st_scan.ema_params,
+    )
