@@ -154,18 +154,51 @@ def bench_train():
     # lerps (A/B lever: the flat form's two ravel-concats are ~3.8 ms of
     # the 113.7 ms kernel-stack step — r5 SAVE_RESID profile)
     flat_ema = os.environ.get("TCDIFF_FLAT_EMA", "1") == "1"
-    step = jax.jit(make_train_step(diff, tx, flat_ema=flat_ema), donate_argnums=0)
+    inner = make_train_step(diff, tx, flat_ema=flat_ema)
+    # BENCH_SCAN_STEPS=N runs N train steps as ONE jitted lax.scan, i.e.
+    # one dispatch per N steps. The per-step wall-vs-device gap on this
+    # host (164 ms wall vs 123 ms device at defaults, r5 profile) is axon
+    # tunnel dispatch latency that even the pipelined loop could not
+    # remove (dispatch is serial on the 1-core host); a production host
+    # with a local chip does not pay it. The scan measures the chip's
+    # device-bound throughput. Semantics per step are identical to the
+    # dispatch-per-step loop (rng folds with state.step, which advances;
+    # the batch is the same synthetic one each step, as in the plain
+    # loop) — equality is unit-tested (tests/test_train.py). Default 10
+    # since r5d measured it paired: 7.781/8.433 steps/s (control/save)
+    # vs 6.016 dispatch-per-step — and the orchestrator offers the same
+    # loop to real users (--scan_steps). BENCH_SCAN_STEPS=1 is the
+    # r3/r4-continuity dispatch-per-step methodology; the metric string
+    # records the scan length either way.
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "10"))
+    if scan_steps > 1:
+        from jax import lax
+
+        def _multi(state, xs_, cs_, key_):
+            def body(s, _):
+                s2, metrics = inner(s, xs_, cs_, key_)
+                return s2, metrics["total"]
+
+            return lax.scan(body, state, None, length=scan_steps)
+
+        step = jax.jit(_multi, donate_argnums=0)
+        sync = lambda t: float(t[-1])  # noqa: E731 — fetch depends on all steps
+        per_call = scan_steps
+    else:
+        step = jax.jit(inner, donate_argnums=0)
+        sync = lambda metrics: float(metrics["total"])  # noqa: E731
+        per_call = 1
     key = jax.device_put(jax.random.key(1), replicated(mesh))
 
     state, m = step(state, xs, cs, key)
-    float(m["total"])  # sync
+    sync(m)  # warm + sync
 
     # BENCH_PROFILE_DIR: capture one traced step (tools/parse_xplane.py)
     prof_dir = os.environ.get("BENCH_PROFILE_DIR")
     if prof_dir:
         with jax.profiler.trace(prof_dir):
             state, m = step(state, xs, cs, key)
-            float(m["total"])
+            sync(m)
 
     reps = int(os.environ.get("BENCH_REPS", "10"))
     # BENCH_SYNC_EVERY=0 times the PIPELINED loop (dispatch all steps,
@@ -180,14 +213,14 @@ def bench_train():
     for _ in range(reps):
         state, m = step(state, xs, cs, key)
         if sync_every:
-            float(m["total"])
+            sync(m)
     if not sync_every:
         # host-fetch scalars that depend on the LAST step's loss AND its
         # optimizer update — block_until_ready alone does not reliably
         # synchronize through the axon tunnel (see bench_sample)
-        float(m["total"])
+        sync(m)
         float(jnp.sum(jax.tree.leaves(state.params)[0]))
-    dt = (time.perf_counter() - t0) / reps
+    dt = (time.perf_counter() - t0) / (reps * per_call)
     # anchor: measured train-step A100 extrapolation
     # (tools/measure_train_baseline.py); ratio to the plain reference, no 5x
     # bar declared for training
@@ -198,8 +231,9 @@ def bench_train():
     except (OSError, KeyError, ValueError):
         anchor = None
     samples_per_s = batch / dt
+    scan_tag = f", scan {scan_steps}" if scan_steps > 1 else ""
     result = {
-        "metric": f"train_steps/sec (batch {batch}, 3 dancers)",
+        "metric": f"train_steps/sec (batch {batch}, 3 dancers{scan_tag})",
         "value": round(1.0 / dt, 3),
         "unit": "steps/s",
         # null (not steps/s) when no anchor: keep the field's unit

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--epochs", type=int, default=10000)
     parser.add_argument("--save_interval", type=int, default=50)
     parser.add_argument("--ema_interval", type=int, default=1)
+    parser.add_argument("--scan_steps", type=int, default=1,
+                        help="train steps per device dispatch (>1 stacks that many "
+                             "batches into one jitted lax.scan; amortizes host "
+                             "dispatch latency — BENCH_NOTES r5)")
     parser.add_argument("--checkpoint", type=str, default="")
 
     # Validation / test

@@ -83,6 +83,12 @@ class TrainConfig:
     compute_dtype: str = "float32"
     # rematerialize decoder layers in the backward pass (memory <- FLOPs)
     remat: bool = False
+    # train steps per device dispatch: >1 stacks that many host batches
+    # and runs them as ONE jitted lax.scan, amortizing per-step host
+    # dispatch latency (worth ~25% wall on a tunneled host, measured
+    # BENCH_NOTES r5; a local-chip host pays less but still benefits).
+    # Logging/NaN-detection granularity becomes per scan block.
+    scan_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

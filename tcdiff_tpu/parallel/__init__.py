@@ -3,6 +3,7 @@ from tcdiff_tpu.parallel.mesh import (
     make_mesh,
     replicated,
     shard_batch,
+    shard_stacked_batch,
 )
 from tcdiff_tpu.parallel.sharding_rules import (
     params_pspecs,
@@ -15,6 +16,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_batch",
+    "shard_stacked_batch",
     "params_pspecs",
     "shard_params",
     "shard_train_state",

@@ -51,3 +51,11 @@ def shard_batch(batch, mesh: Mesh):
     """Place a pytree of host arrays onto the mesh, batch dim over dp."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+
+
+def shard_stacked_batch(batch, mesh: Mesh):
+    """Place (K, batch, ...) stacks on the mesh: scan axis replicated,
+    batch dim over dp — lax.scan slices along axis 0, so each per-step
+    slice carries the same P("dp") layout shard_batch produces."""
+    sh = NamedSharding(mesh, P(None, "dp"))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)

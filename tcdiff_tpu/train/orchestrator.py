@@ -35,7 +35,7 @@ from tcdiff_tpu.data.synthetic import synthetic_dataset
 from tcdiff_tpu.diffusion import GaussianDiffusion
 from tcdiff_tpu.models import DanceDecoder
 from tcdiff_tpu.optim import adan
-from tcdiff_tpu.parallel import make_mesh, replicated, shard_batch
+from tcdiff_tpu.parallel import make_mesh, replicated, shard_batch, shard_stacked_batch
 from tcdiff_tpu.train.state import create_train_state
 from tcdiff_tpu.train.train_step import make_train_step
 from tcdiff_tpu.trajdecoder import TrajDecoder, autoregressive_rollout, kalman_smooth_batch
@@ -321,13 +321,26 @@ class TCDiff:
             config={"lr": cfg.train.learning_rate, "batch": cfg.train.batch_size},
         ) if is_host0 else None
 
-        step_fn = jax.jit(
-            make_train_step(
-                self.diffusion, self.tx, cfg.train.ema_beta, cfg.train.ema_interval,
-                flat_ema=cfg.train.tp <= 1,
-            ),
-            donate_argnums=0,
+        inner_step = make_train_step(
+            self.diffusion, self.tx, cfg.train.ema_beta, cfg.train.ema_interval,
+            flat_ema=cfg.train.tp <= 1,
         )
+        step_fn = jax.jit(inner_step, donate_argnums=0)
+        # scan_steps > 1: run K steps as ONE dispatch (lax.scan over
+        # stacked batches) — amortizes per-step host dispatch latency
+        # (~25% of wall on a tunneled host, BENCH_NOTES r5). rng folds
+        # with state.step inside make_train_step, so per-step randomness
+        # is identical to the dispatch-per-step loop
+        # (tests/test_train.py::test_scan_of_steps_matches_sequential_dispatch).
+        scan_k = max(1, int(getattr(opt, "scan_steps", cfg.train.scan_steps)))
+        if scan_k > 1:
+            def _scan_block(state, xs_k, cs_k, rng):
+                def body(s, xc):
+                    return inner_step(s, xc[0], xc[1], rng)
+
+                return jax.lax.scan(body, state, (xs_k, cs_k))
+
+            scan_fn = jax.jit(_scan_block, donate_argnums=0)
         base_rng = jax.device_put(jax.random.key(cfg.train.seed), replicated(self.mesh))
         data_rng = np.random.default_rng(cfg.train.seed)
         timer = StepTimer()
@@ -354,16 +367,36 @@ class TCDiff:
                 if use_native
                 else train_ds.batches(batch_size, rng=data_rng)
             )
+            group: list = []
             for batch in batches:
-                xs, cs = shard_batch(
-                    (jnp.asarray(batch["x"]), jnp.asarray(batch["cond"])), self.mesh
-                )
-                timer.tick()
-                self.state, m = step_fn(self.state, xs, cs, base_rng)
-                jax.block_until_ready(m["total"])
-                timer.tock()
-                total = float(m["total"])
-                if not np.isfinite(total):
+                if scan_k > 1:
+                    group.append(batch)
+                    if len(group) < scan_k:
+                        continue
+                    xs, cs = shard_stacked_batch(
+                        (
+                            jnp.stack([jnp.asarray(b["x"]) for b in group]),
+                            jnp.stack([jnp.asarray(b["cond"]) for b in group]),
+                        ),
+                        self.mesh,
+                    )
+                    group = []
+                    timer.tick()
+                    self.state, m = scan_fn(self.state, xs, cs, base_rng)
+                    jax.block_until_ready(m["total"])
+                    timer.tock(steps=scan_k)
+                    k_steps = scan_k
+                else:
+                    xs, cs = shard_batch(
+                        (jnp.asarray(batch["x"]), jnp.asarray(batch["cond"])), self.mesh
+                    )
+                    timer.tick()
+                    self.state, m = step_fn(self.state, xs, cs, base_rng)
+                    jax.block_until_ready(m["total"])
+                    timer.tock()
+                    k_steps = 1
+                totals = np.asarray(m["total"]).reshape(-1)
+                if not np.isfinite(totals).all():
                     # failure detection the reference lacks (SURVEY §5): halt
                     # with a rescue checkpoint instead of training on NaNs
                     if is_host0:
@@ -372,8 +405,23 @@ class TCDiff:
                         )
                         self.logger.error(
                             "non-finite loss %s at step %d; rescue checkpoint at %s",
-                            total, int(self.state.step), path,
+                            totals, int(self.state.step), path,
                         )
+                    raise FloatingPointError(
+                        f"non-finite loss at step {int(self.state.step)}"
+                    )
+                for k, v in m.items():
+                    running[k] = running.get(k, 0.0) + float(np.asarray(v).sum())
+                n_batches += k_steps
+            # epoch tail shorter than a scan block: run it step-by-step so
+            # no data is dropped (step_fn is compiled either way)
+            for b in group:
+                xs, cs = shard_batch(
+                    (jnp.asarray(b["x"]), jnp.asarray(b["cond"])), self.mesh
+                )
+                self.state, m = step_fn(self.state, xs, cs, base_rng)
+                total = float(m["total"])
+                if not np.isfinite(total):
                     raise FloatingPointError(
                         f"non-finite loss at step {int(self.state.step)}"
                     )

@@ -40,8 +40,10 @@ class StepTimer:
     def tick(self) -> None:
         self._last = time.perf_counter()
 
-    def tock(self) -> float:
-        dt = time.perf_counter() - self._last
+    def tock(self, steps: int = 1) -> float:
+        """steps>1: the timed dispatch covered that many train steps (a
+        lax.scan block) — the EMA tracks per-STEP time either way."""
+        dt = (time.perf_counter() - self._last) / max(1, steps)
         self._avg = dt if self._avg is None else self._smoothing * self._avg + (1 - self._smoothing) * dt
         return dt
 

@@ -117,3 +117,23 @@ def test_render_eval_samples_writes_files(trained, tmp_path):
     poses = runner.render_eval_samples(ds, epoch=1, render_dir=out, count=1, render=True)
     assert poses.shape[0] == 1
     assert glob.glob(os.path.join(out, "*.gif"))
+
+
+def test_train_loop_scan_steps(tmp_path):
+    """scan_steps=2 runs pairs of batches as one lax.scan dispatch
+    (TrainConfig.scan_steps; BENCH_NOTES r5 host-dispatch amortization).
+    With 3 batches/epoch the epoch tail (1 batch) must still train via
+    the single-step path — no data dropped, step counter exact."""
+    opt = _opt(tmp_path, scan_steps=2, synthetic_size=24)
+    cfg = _tiny_cfg()
+    runner = TCDiff(cfg, use_ema_for_eval=False)
+    runner.train_loop(opt)
+    assert int(runner.state.step) == 6  # 24/8 = 3 steps x 2 epochs
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "runs" / "t" / "metrics.jsonl")
+        if "_config" not in l
+    ]
+    assert len(rows) == 2
+    assert np.isfinite(rows[-1]["total"])
+    assert rows[-1]["steps_per_sec"] > 0

@@ -71,23 +71,47 @@ def measure(label, env_pairs):
     cond = jnp.asarray(rng.normal(size=(batch, cond_len, cfg.cond_feature_dim)).astype(np.float32))
     xs, cs = shard_batch((x, cond), mesh)
     flat_ema = os.environ.get("TCDIFF_FLAT_EMA", "1") == "1"
-    step = jax.jit(make_train_step(diff, tx, flat_ema=flat_ema), donate_argnums=0)
+    inner = make_train_step(diff, tx, flat_ema=flat_ema)
+    # BENCH_SCAN_STEPS=N: N steps per dispatch via lax.scan (mirrors
+    # bench.py; measures device-bound throughput without the per-step
+    # tunnel dispatch latency)
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", "0"))
+    if scan_steps > 1:
+        from jax import lax
+
+        def _multi(state, xs_, cs_, key_):
+            def body(s, _):
+                s2, metrics = inner(s, xs_, cs_, key_)
+                return s2, metrics["total"]
+
+            return lax.scan(body, state, None, length=scan_steps)
+
+        step = jax.jit(_multi, donate_argnums=0)
+        sync = lambda t: float(t[-1])  # noqa: E731
+        per_call = scan_steps
+    else:
+        step = jax.jit(inner, donate_argnums=0)
+        sync = lambda metrics: float(metrics["total"])  # noqa: E731
+        per_call = 1
     key = jax.device_put(jax.random.key(1), replicated(mesh))
 
     state, m = step(state, xs, cs, key)
-    float(m["total"])  # warm + sync
+    sync(m)  # warm + sync
     reps = int(os.environ.get("BENCH_REPS", "10"))
     t0 = time.perf_counter()
     for _ in range(reps):
         state, m = step(state, xs, cs, key)
-        float(m["total"])
-    dt = (time.perf_counter() - t0) / reps
-    print(json.dumps({
+        sync(m)
+    dt = (time.perf_counter() - t0) / (reps * per_call)
+    out = {
         "ab_label": label,
         "steps_per_s": round(1.0 / dt, 3),
         "samples_per_s": round(batch / dt, 1),
         "batch": batch,
-    }), flush=True)
+    }
+    if scan_steps > 1:
+        out["scan_steps"] = scan_steps
+    print(json.dumps(out), flush=True)
     # free device buffers before the next config re-traces
     del state, xs, cs, step, params
     return dt
