@@ -31,8 +31,12 @@ import numpy as np
 
 from tcdiff_tpu.config import DiffusionConfig, FOOT_JOINTS
 from tcdiff_tpu.diffusion.schedules import DiffusionBuffers, ddim_times
-from tcdiff_tpu.geometry import smpl_fk_from_6d
+from tcdiff_tpu.geometry import smpl_fk_from_6d, smpl_fk_rel_from_6d
+from tcdiff_tpu.geometry.skeleton import _use_ancmat
 from tcdiff_tpu.models.dance_decoder import DanceDecoder
+
+# foot-joint indices into the root-RELATIVE joint axis (joints 1..23)
+_FOOT_REL = tuple(j - 1 for j in FOOT_JOINTS)
 
 
 def _impose_traj(x: jnp.ndarray, x_0: jnp.ndarray) -> jnp.ndarray:
@@ -175,15 +179,28 @@ class GaussianDiffusion:
         target_x = target_rest[..., :3].reshape(bs, sq * dn, 3)
         model_q6 = model_rest[..., 3:].reshape(bs, sq * dn, 24, 6)
         target_q6 = target_rest[..., 3:].reshape(bs, sq * dn, 24, 6)
-        model_xp = smpl_fk_from_6d(model_q6, model_x)  # (bs, sq*dn, 24, 3)
-        target_xp = smpl_fk_from_6d(target_q6, target_x)
-        fk_loss = per_sample_mse(
-            model_xp[:, :, 1:] - model_xp[:, :, :1], target_xp[:, :, 1:] - target_xp[:, :, :1]
-        ) * p2
+        if _use_ancmat():
+            # root-relative FK both sides: the reference's root subtraction
+            # (`model/diffusion.py:700-708`) cancels the root add, so the
+            # absolute assembly (and the target's root entirely) is skipped;
+            # only the 4 foot joints get the root added back for foot-skate
+            model_rel = smpl_fk_rel_from_6d(model_q6)  # (bs, sq*dn, 23, 3)
+            target_rel = smpl_fk_rel_from_6d(target_q6)
+            fk_loss = per_sample_mse(model_rel, target_rel) * p2
+            feet = model_x.reshape(bs, sq, dn, 1, 3) + model_rel.reshape(
+                bs, sq, dn, 23, 3
+            )[:, :, :, _FOOT_REL, :]
+        else:
+            model_xp = smpl_fk_from_6d(model_q6, model_x)  # (bs, sq*dn, 24, 3)
+            target_xp = smpl_fk_from_6d(target_q6, target_x)
+            fk_loss = per_sample_mse(
+                model_xp[:, :, 1:] - model_xp[:, :, :1],
+                target_xp[:, :, 1:] - target_xp[:, :, :1],
+            ) * p2
+            feet = model_xp.reshape(bs, sq, dn, 24, 3)[:, :, :, FOOT_JOINTS, :]
 
         # foot-skate loss (`model/diffusion.py:719-733`)
         static = model_contact > 0.95  # (bs, sq, dn, 4)
-        feet = model_xp.reshape(bs, sq, dn, 24, 3)[:, :, :, FOOT_JOINTS, :]
         foot_v = jnp.concatenate([feet[:, 1:] - feet[:, :-1], jnp.zeros_like(feet[:, :1])], axis=1)
         foot_v = jnp.where(static[..., None], foot_v, 0.0)
         foot_loss = jnp.mean(foot_v**2, axis=tuple(range(1, foot_v.ndim)))

@@ -11,6 +11,8 @@ reference's chain (same offsets, parents, quaternion math).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -83,6 +85,41 @@ def _levels(parents: np.ndarray):
 _LEVELS = _levels(SMPL_PARENTS)  # 8 levels of non-root joints
 
 
+def _anc_matrix(parents: np.ndarray) -> np.ndarray:
+    """(J-1, J-1) ancestor-chain matrix over non-root joints.
+
+    A[k-1, j-1] = 1 iff joint j lies on the chain root->k (j >= 1). A world
+    position relative to the root is then the chain sum of parent-rotated
+    rest offsets: rel = A @ rotated_offsets — one small constant matmul
+    instead of a per-level accumulate.
+    """
+    n = len(parents)
+    a = np.zeros((n - 1, n - 1), dtype=np.float32)
+    for k in range(1, n):
+        j = k
+        while j > 0:
+            a[k - 1, j - 1] = 1.0
+            j = int(parents[j])
+    return a
+
+
+_ANC = _anc_matrix(SMPL_PARENTS)
+
+
+def _use_ancmat() -> bool:
+    """Ancestor-matrix FK positions (TCDIFF_FK_ANCMAT; opt-in until the
+    paired on-chip A/B lands — house rule: defaults flip on measured wins).
+
+    Replaces the per-level position accumulation (two stacks + a scatter per
+    level, 8 levels) with one parent gather, one batched quat_apply over all
+    23 offsets, and a (23,23) constant matmul the MXU eats. Identical math to
+    the chain walk up to f32 summation order (golden atol 1e-4 >> the ~1e-6
+    reassociation noise). Read at trace time — changing the env mid-process
+    needs jax.clear_caches() (tools/ab_train.py does this per arm).
+    """
+    return os.environ.get("TCDIFF_FK_ANCMAT", "0") == "1"
+
+
 def smpl_fk(rotations: jnp.ndarray, root_positions: jnp.ndarray) -> jnp.ndarray:
     """Forward kinematics.
 
@@ -111,7 +148,49 @@ def smpl_fk_from_6d(rot6d: jnp.ndarray, root_positions: jnp.ndarray) -> jnp.ndar
     return _fk_from_quats(quats, root_positions)
 
 
+def smpl_fk_rel_from_6d(rot6d: jnp.ndarray) -> jnp.ndarray:
+    """Root-relative FK from 6D rotations: positions of joints 1..23 minus
+    the root, shape (..., J-1, 3) — no root positions needed.
+
+    This is exactly what the reference's FK loss consumes
+    (`model/diffusion.py:700-708` computes world positions then subtracts
+    joint 0), so the loss can skip the absolute assembly entirely.
+    """
+    quats = matrix_to_quaternion(rotation_6d_to_matrix(rot6d))
+    rot_w = _world_quats(quats)
+    return _rel_positions(rot_w, quats.dtype)
+
+
+def _world_quats(quats: jnp.ndarray) -> list:
+    """World rotation per joint, filled level by level; returns a list of
+    (..., 4) arrays indexed by joint."""
+    rot_w = [None] * N_JOINTS
+    rot_w[0] = quats[..., 0, :]
+    for level in _LEVELS:
+        parent_rot = jnp.stack([rot_w[SMPL_PARENTS[j]] for j in level], axis=-2)
+        local_rot = quats[..., list(level), :]
+        world_rot = quat_multiply(parent_rot, local_rot)
+        for k, j in enumerate(level):
+            rot_w[j] = world_rot[..., k, :]
+    return rot_w
+
+
+def _rel_positions(rot_w: list, dtype) -> jnp.ndarray:
+    """Root-relative positions of joints 1..23 via the ancestor matmul."""
+    parent_rot = jnp.stack([rot_w[p] for p in SMPL_PARENTS[1:]], axis=-2)  # (...,23,4)
+    offs = jnp.broadcast_to(
+        jnp.asarray(SMPL_OFFSETS[1:], dtype), parent_rot.shape[:-1] + (3,)
+    )
+    rotated = quat_apply(parent_rot, offs)  # (..., 23, 3)
+    return jnp.einsum("...jc,kj->...kc", rotated, jnp.asarray(_ANC, rotated.dtype))
+
+
 def _fk_from_quats(quats: jnp.ndarray, root_positions: jnp.ndarray) -> jnp.ndarray:
+    if _use_ancmat():
+        rel = _rel_positions(_world_quats(quats), root_positions.dtype)
+        rel = jnp.concatenate([jnp.zeros_like(rel[..., :1, :]), rel], axis=-2)
+        return root_positions[..., None, :] + rel
+
     batch_shape = quats.shape[:-2]
     offsets = jnp.asarray(SMPL_OFFSETS, dtype=root_positions.dtype)
     offsets = jnp.broadcast_to(offsets, batch_shape + offsets.shape)

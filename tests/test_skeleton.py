@@ -88,3 +88,36 @@ def test_fk_jit_and_grad():
 
     g = jax.grad(loss)(jnp.array(rotations), jnp.array(roots))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ancmat_fk_matches_level_walk(monkeypatch):
+    """TCDIFF_FK_ANCMAT=1 (ancestor-matrix positions) vs the level walk:
+    identical up to f32 summation order, on absolute FK and on grads."""
+    rotations, roots = make_inputs(seed=4)
+    monkeypatch.setenv("TCDIFF_FK_ANCMAT", "0")
+    jax.clear_caches()
+    legacy = np.asarray(smpl_fk(jnp.array(rotations), jnp.array(roots)))
+    g_legacy = jax.grad(
+        lambda r, p: jnp.sum(smpl_fk(r, p) ** 2)
+    )(jnp.array(rotations), jnp.array(roots))
+    monkeypatch.setenv("TCDIFF_FK_ANCMAT", "1")
+    jax.clear_caches()
+    anc = np.asarray(smpl_fk(jnp.array(rotations), jnp.array(roots)))
+    g_anc = jax.grad(
+        lambda r, p: jnp.sum(smpl_fk(r, p) ** 2)
+    )(jnp.array(rotations), jnp.array(roots))
+    jax.clear_caches()
+    np.testing.assert_allclose(anc, legacy, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_anc), np.asarray(g_legacy), atol=1e-4)
+
+
+def test_rel_fk_equals_absolute_minus_root():
+    from tcdiff_tpu.geometry import smpl_fk_rel_from_6d
+
+    rotations, roots = make_inputs(seed=5)
+    d6 = ax_to_6v(jnp.array(rotations))
+    absolute = np.asarray(smpl_fk_from_6d(d6, jnp.array(roots)))
+    rel = np.asarray(smpl_fk_rel_from_6d(d6))
+    np.testing.assert_allclose(
+        rel, absolute[..., 1:, :] - absolute[..., :1, :], atol=1e-5
+    )

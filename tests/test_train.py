@@ -259,3 +259,32 @@ def test_scan_of_steps_matches_sequential_dispatch():
         ),
         st_seq.ema_params, st_scan.ema_params,
     )
+
+
+def test_ancmat_loss_matches_level_walk(monkeypatch):
+    """The full 4-term loss (incl. FK + foot-skate) under TCDIFF_FK_ANCMAT=1
+    matches the level-walk path up to f32 reassociation, grads included."""
+    diff, state, _, x, cond = _setup(batch=4)
+    t = jnp.full((x.shape[0],), 250, jnp.int32)
+
+    def run():
+        jax.clear_caches()
+
+        def total(params):
+            out, _ = diff.p_losses(
+                params, x, cond, t, jax.random.key(5),
+                keep_mask=jnp.ones((x.shape[0],), bool),
+            )
+            return out
+
+        val, grads = jax.value_and_grad(total)(state.params)
+        return float(val), jax.tree_util.tree_leaves(grads)
+
+    monkeypatch.setenv("TCDIFF_FK_ANCMAT", "0")
+    v0, g0 = run()
+    monkeypatch.setenv("TCDIFF_FK_ANCMAT", "1")
+    v1, g1 = run()
+    jax.clear_caches()
+    np.testing.assert_allclose(v1, v0, rtol=1e-5, atol=1e-6)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
