@@ -106,6 +106,30 @@ def _anc_matrix(parents: np.ndarray) -> np.ndarray:
 _ANC = _anc_matrix(SMPL_PARENTS)
 
 
+def _jump_tables(parents: np.ndarray) -> list:
+    """Pointer-jumping ancestor tables for log-depth world rotations.
+
+    tables[k][j] is the 2^k-th ancestor of joint j, with exhausted chains
+    parked on a virtual identity slot at index J. The deepest SMPL chain is
+    9 joints (root->hand), so 4 doubling steps cover it: the world rotation
+    becomes 4 batched quat_multiply's over all 24 joints with STATIC gather
+    indices — no per-level stack/scatter (the r5 profile put those gathers
+    + two f32[...,24,4] layout copies at ~3.4 ms of the 113.7 ms step).
+    """
+    n = len(parents)
+    ident = n
+    ptr = np.where(parents < 0, ident, parents).astype(np.int64)
+    tables = []
+    while not np.all(ptr == ident):
+        tables.append(ptr.copy())
+        ext = np.append(ptr, ident)
+        ptr = ext[ptr]
+    return tables
+
+
+_JUMP = _jump_tables(SMPL_PARENTS)  # 4 tables for the depth-9 SMPL tree
+
+
 def _use_ancmat() -> bool:
     """Ancestor-matrix FK positions (TCDIFF_FK_ANCMAT; opt-in until the
     paired on-chip A/B lands — house rule: defaults flip on measured wins).
@@ -161,23 +185,24 @@ def smpl_fk_rel_from_6d(rot6d: jnp.ndarray) -> jnp.ndarray:
     return _rel_positions(rot_w, quats.dtype)
 
 
-def _world_quats(quats: jnp.ndarray) -> list:
-    """World rotation per joint, filled level by level; returns a list of
-    (..., 4) arrays indexed by joint."""
-    rot_w = [None] * N_JOINTS
-    rot_w[0] = quats[..., 0, :]
-    for level in _LEVELS:
-        parent_rot = jnp.stack([rot_w[SMPL_PARENTS[j]] for j in level], axis=-2)
-        local_rot = quats[..., list(level), :]
-        world_rot = quat_multiply(parent_rot, local_rot)
-        for k, j in enumerate(level):
-            rot_w[j] = world_rot[..., k, :]
-    return rot_w
+def _world_quats(quats: jnp.ndarray) -> jnp.ndarray:
+    """World rotation per joint as one (..., J, 4) array, by pointer
+    jumping: after step k every joint holds the composition of its 2^k
+    nearest chain quats, so ceil(log2(depth 9)) = 4 batched quat_multiply's
+    with constant gather tables replace the 8-level stack/scatter walk."""
+    ident = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0, 0.0], quats.dtype), quats[..., :1, :].shape
+    )
+    w = quats
+    for ptr in _JUMP:
+        w_ext = jnp.concatenate([w, ident], axis=-2)  # (..., J+1, 4)
+        w = quat_multiply(w_ext[..., ptr, :], w)
+    return w
 
 
-def _rel_positions(rot_w: list, dtype) -> jnp.ndarray:
+def _rel_positions(rot_w: jnp.ndarray, dtype) -> jnp.ndarray:
     """Root-relative positions of joints 1..23 via the ancestor matmul."""
-    parent_rot = jnp.stack([rot_w[p] for p in SMPL_PARENTS[1:]], axis=-2)  # (...,23,4)
+    parent_rot = rot_w[..., SMPL_PARENTS[1:], :]  # (..., 23, 4) static gather
     offs = jnp.broadcast_to(
         jnp.asarray(SMPL_OFFSETS[1:], dtype), parent_rot.shape[:-1] + (3,)
     )
